@@ -1,0 +1,32 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding tests use the standard JAX fake-backend trick
+(xla_force_host_platform_device_count) so the suite runs anywhere.
+Must run before the first `import jax` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference fixtures not available")
+    return REFERENCE
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
