@@ -7,12 +7,19 @@ Must run before the first `import jax` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NB: the environment pre-imports jax via PYTHONPATH sitecustomize, so
+# JAX_PLATFORMS in os.environ is read before this file runs — use the
+# config API instead. XLA_FLAGS is read lazily at backend init, so the
+# env route still works for the device-count flag.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("SLAM3D_TEST_PLATFORM", "cpu"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
