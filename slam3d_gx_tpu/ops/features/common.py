@@ -1,0 +1,137 @@
+"""Shared feature machinery: fixed-K keypoint container, NMS, top-k."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set (padded, masked).
+
+    uv: (K,2) float32 — (u=x=col, v=y=row), OpenCV KeyPoint.pt order;
+    response: (K,) float32; size: (K,) float32 (diameter, px);
+    angle: (K,) float32 radians (0 when undefined);
+    valid: (K,) bool.
+    """
+
+    uv: jnp.ndarray
+    response: jnp.ndarray
+    size: jnp.ndarray
+    angle: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.uv.shape[0]
+
+    def count(self):
+        return self.valid.sum()
+
+
+def empty_keypoints(k: int) -> Keypoints:
+    return Keypoints(
+        uv=jnp.zeros((k, 2), jnp.float32),
+        response=jnp.zeros((k,), jnp.float32),
+        size=jnp.zeros((k,), jnp.float32),
+        angle=jnp.zeros((k,), jnp.float32),
+        valid=jnp.zeros((k,), bool),
+    )
+
+
+def nms(response, radius: int = 1):
+    """Keep strict local maxima within a (2r+1)^2 window."""
+    w = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        response, -jnp.inf, jax.lax.max, (w, w), (1, 1), "SAME"
+    )
+    return jnp.where(response >= pooled, response, -jnp.inf)
+
+
+def topk_keypoints(
+    response, k: int, threshold=0.0, nms_radius: int = 1, border: int = 0,
+    size: float = 7.0,
+) -> Keypoints:
+    """Response map (H,W) -> top-k keypoints above threshold after NMS."""
+    H, W = response.shape
+    r = nms(response, nms_radius)
+    if border > 0:
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        inside = (
+            (row >= border) & (row < H - border) & (col >= border) & (col < W - border)
+        )
+        r = jnp.where(inside, r, -jnp.inf)
+    flat = r.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, k)
+    v = (idx // W).astype(jnp.float32)
+    u = (idx % W).astype(jnp.float32)
+    valid = vals > threshold
+    return Keypoints(
+        uv=jnp.stack([u, v], axis=-1),
+        response=jnp.where(valid, vals, 0.0),
+        size=jnp.full((k,), size, jnp.float32),
+        angle=jnp.zeros((k,), jnp.float32),
+        valid=valid,
+    )
+
+
+def apply_mask(kps: Keypoints, mask_img) -> Keypoints:
+    """Restrict keypoints to a binary image mask (detector mask argument,
+    reference src/GraphicEnd.h:105-111)."""
+    H, W = mask_img.shape
+    u = jnp.clip(jnp.round(kps.uv[:, 0]).astype(jnp.int32), 0, W - 1)
+    v = jnp.clip(jnp.round(kps.uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    inside = mask_img[v, u]
+    return kps._replace(valid=kps.valid & inside)
+
+
+def sobel_gradients(img):
+    """Sobel 3x3 dx, dy (OpenCV kernel, no scaling). img float32 (H,W)."""
+    kx = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+    ky = kx.T
+    pad = jnp.pad(img, 1, mode="edge")
+    dx = _conv2(pad, kx)
+    dy = _conv2(pad, ky)
+    return dx, dy
+
+
+def _conv2(img, kernel):
+    """Valid-mode 2D correlation via conv_general_dilated."""
+    x = img[None, None, :, :]
+    k = kernel[None, None, :, :]
+    out = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
+
+
+def box_filter(img, radius: int):
+    """Mean filter over (2r+1)^2, edge-padded."""
+    w = 2 * radius + 1
+    pad = jnp.pad(img, radius, mode="edge")
+    s = jax.lax.reduce_window(
+        pad, 0.0, jax.lax.add, (w, w), (1, 1), "VALID"
+    )
+    return s / (w * w)
+
+
+def gaussian_kernel1d(sigma: float, radius: int):
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def gaussian_blur(img, sigma: float, radius: int | None = None):
+    """Separable Gaussian blur, edge-padded (cv::GaussianBlur analog)."""
+    if radius is None:
+        radius = max(1, int(round(3.0 * sigma)))
+    k = gaussian_kernel1d(sigma, radius)
+    pad = jnp.pad(img, ((radius, radius), (0, 0)), mode="edge")
+    img = _conv2(pad, k[:, None])
+    pad = jnp.pad(img, ((0, 0), (radius, radius)), mode="edge")
+    return _conv2(pad, k[None, :])

@@ -1,0 +1,148 @@
+"""DoG (SIFT) keypoint detector: Gaussian scale-space on conv pyramids.
+
+Parity target: cv::SIFT detection (the reference default,
+parameters.yaml:8) — difference-of-Gaussian extrema over octaves, contrast
+threshold 0.04, edge-ratio threshold 10, nOctaveLayers=3, sigma=1.6.
+
+TPU re-architecture: the pyramid is a fixed set of separable-conv blurs
+per octave (static shapes per octave level — each level is its own XLA
+computation region inside one jit); extrema detection is a 3x3x3
+reduce-window comparison over the whole DoG stack at once; per-octave
+candidates come out as fixed top-k sets with validity masks and a 2D
+quadratic sub-pixel refinement. No data-dependent shapes anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .common import Keypoints, gaussian_blur, topk_keypoints
+
+N_LAYERS = 3          # nOctaveLayers
+SIGMA0 = 1.6
+INIT_BLUR = 0.5       # assumed camera blur
+CONTRAST_THR = 0.04
+EDGE_THR = 10.0
+
+
+def _downsample2(img):
+    return img[::2, ::2]
+
+
+def _octave_gaussians(base, n_imgs):
+    """Incremental blurs: G[i] has total sigma SIGMA0 * 2^(i/N_LAYERS)."""
+    k = 2.0 ** (1.0 / N_LAYERS)
+    sigmas = [SIGMA0 * (k**i) for i in range(n_imgs)]
+    imgs = [base]
+    for i in range(1, n_imgs):
+        inc = (sigmas[i] ** 2 - sigmas[i - 1] ** 2) ** 0.5
+        imgs.append(gaussian_blur(imgs[-1], inc))
+    return imgs
+
+
+def _extrema_mask(dog):
+    """dog: (L,h,w). True where a voxel is a 3x3x3 max or min (strict on
+    the center layer comparison like OpenCV's >=/<= neighbor test)."""
+    big = jax.lax.reduce_window(
+        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    small = jax.lax.reduce_window(
+        dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    return (dog >= big) | (dog <= small)
+
+
+def _edge_ok(layer):
+    """2D Hessian edge-ratio test on a DoG layer."""
+    dxx = layer[1:-1, 2:] + layer[1:-1, :-2] - 2 * layer[1:-1, 1:-1]
+    dyy = layer[2:, 1:-1] + layer[:-2, 1:-1] - 2 * layer[1:-1, 1:-1]
+    dxy = (
+        layer[2:, 2:] - layer[2:, :-2] - layer[:-2, 2:] + layer[:-2, :-2]
+    ) * 0.25
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = EDGE_THR
+    ok = (det > 0) & (tr * tr * r < (r + 1) * (r + 1) * det)
+    return jnp.pad(ok, 1, constant_values=False)
+
+
+def _subpixel_shift(layer):
+    """One-step 2D quadratic offset (du, dv) per pixel, clipped to 0.5."""
+    dx = (layer[1:-1, 2:] - layer[1:-1, :-2]) * 0.5
+    dy = (layer[2:, 1:-1] - layer[:-2, 1:-1]) * 0.5
+    dxx = layer[1:-1, 2:] + layer[1:-1, :-2] - 2 * layer[1:-1, 1:-1]
+    dyy = layer[2:, 1:-1] + layer[:-2, 1:-1] - 2 * layer[1:-1, 1:-1]
+    dxy = (
+        layer[2:, 2:] - layer[2:, :-2] - layer[:-2, 2:] + layer[:-2, :-2]
+    ) * 0.25
+    det = dxx * dyy - dxy * dxy
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    du = -(dyy * dx - dxy * dy) / det
+    dv = -(-dxy * dx + dxx * dy) / det
+    du = jnp.clip(du, -0.5, 0.5)
+    dv = jnp.clip(dv, -0.5, 0.5)
+    pad = functools.partial(jnp.pad, pad_width=1, constant_values=0.0)
+    return pad(du), pad(dv)
+
+
+@functools.partial(jax.jit, static_argnames=("max_kp", "n_octaves"))
+def detect_sift(img, max_kp: int = 512, n_octaves: int = 4) -> Keypoints:
+    """img: (H,W) uint8/float. Fixed-capacity SIFT keypoints.
+
+    Candidates are gathered per octave (max_kp each), merged, and the
+    global top max_kp by |DoG| response survive.
+    """
+    x = img.astype(jnp.float32) / 255.0
+    # lift base blur to SIGMA0 (no initial doubling: TPU-fast variant)
+    inc = max(SIGMA0**2 - INIT_BLUR**2, 0.01) ** 0.5
+    base = gaussian_blur(x, inc)
+
+    thr = 0.5 * CONTRAST_THR / N_LAYERS
+    all_kps = []
+    for o in range(n_octaves):
+        gs = _octave_gaussians(base, N_LAYERS + 3)
+        dog = jnp.stack([gs[i + 1] - gs[i] for i in range(N_LAYERS + 2)])
+        ext = _extrema_mask(dog)
+        scale = float(2**o)
+        for layer in range(1, N_LAYERS + 1):
+            d = dog[layer]
+            resp = jnp.where(
+                ext[layer] & (jnp.abs(d) > thr) & _edge_ok(d),
+                jnp.abs(d),
+                -jnp.inf,
+            )
+            k_oct = max_kp
+            kps = topk_keypoints(resp, k_oct, threshold=0.0, nms_radius=1, border=4)
+            du, dv = _subpixel_shift(d)
+            ui = jnp.clip(kps.uv[:, 0].astype(jnp.int32), 0, d.shape[1] - 1)
+            vi = jnp.clip(kps.uv[:, 1].astype(jnp.int32), 0, d.shape[0] - 1)
+            uv = kps.uv + jnp.stack([du[vi, ui], dv[vi, ui]], axis=-1)
+            sigma = SIGMA0 * (2.0 ** (layer / N_LAYERS)) * scale
+            all_kps.append(
+                kps._replace(
+                    uv=uv * scale,
+                    size=jnp.full((k_oct,), 2.0 * sigma, jnp.float32),
+                )
+            )
+        # next octave: downsample the gaussian image with sigma 2*SIGMA0
+        base = _downsample2(gs[N_LAYERS])
+
+    merged = Keypoints(
+        uv=jnp.concatenate([k.uv for k in all_kps]),
+        response=jnp.concatenate([k.response for k in all_kps]),
+        size=jnp.concatenate([k.size for k in all_kps]),
+        angle=jnp.concatenate([k.angle for k in all_kps]),
+        valid=jnp.concatenate([k.valid for k in all_kps]),
+    )
+    score = jnp.where(merged.valid, merged.response, -jnp.inf)
+    _, top = jax.lax.top_k(score, max_kp)
+    return Keypoints(
+        uv=merged.uv[top],
+        response=merged.response[top],
+        size=merged.size[top],
+        angle=merged.angle[top],
+        valid=merged.valid[top],
+    )

@@ -1,0 +1,73 @@
+"""Detector/descriptor factory behind the reference's config names.
+
+Parity surface: cv::FeatureDetector::create / DescriptorExtractor::create
+(reference src/GraphicEnd.cpp:63-65). Name mapping:
+
+  SIFT     -> DoG detector / SIFT descriptor (the parity defaults)
+  SURF     -> DoG detector (fast-Hessian analog) / SIFT descriptor; the
+              reference only sweeps SURF in experiments, accuracy is
+              judged on trajectory metrics
+  GFTT     -> Shi-Tomasi; HARRIS -> Harris
+  FAST     -> FAST-9/16; GridFAST -> grid-budgeted FAST
+  STAR     -> DoG single-scale blob response (CenSurE stand-in)
+  ORB      -> grid FAST detector / SIFT descriptor stand-in until the
+              binary BRIEF pipeline lands
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from . import dog, fast, harris, sift_desc
+from .common import Keypoints, apply_mask
+
+DetectorFn = Callable[..., Keypoints]
+
+
+def create_detector(name: str, max_kp: int = 512) -> DetectorFn:
+    """Returns detect(img, mask=None) -> Keypoints."""
+    key = name.strip().upper()
+
+    if key in ("SIFT", "SURF", "STAR"):
+        base = functools.partial(dog.detect_sift, max_kp=max_kp)
+    elif key == "GFTT":
+        base = functools.partial(harris.detect_gftt, max_kp=max_kp)
+    elif key == "HARRIS":
+        base = functools.partial(harris.detect_gftt, max_kp=max_kp, use_harris=True)
+    elif key == "FAST":
+        base = functools.partial(fast.detect_fast, max_kp=max_kp)
+    elif key in ("GRIDFAST", "ORB"):
+        base = functools.partial(fast.detect_grid_fast, max_kp=max_kp)
+    else:
+        raise ValueError(f"unknown detector name: {name!r}")
+
+    def detect(img, mask: Optional[jnp.ndarray] = None) -> Keypoints:
+        kps = base(img)
+        if mask is not None:
+            kps = apply_mask(kps, mask)
+        return kps
+
+    return detect
+
+
+def create_descriptor(name: str):
+    """Returns describe(img, kps) -> (K,D) float32 descriptors."""
+    key = name.strip().upper()
+    if key in ("SIFT", "SURF", "ORB", "BRIEF"):
+        return sift_desc.sift_descriptors
+    raise ValueError(f"unknown descriptor name: {name!r}")
+
+
+def detect_and_describe(detector_name: str, descriptor_name: str, max_kp: int = 512):
+    det = create_detector(detector_name, max_kp)
+    desc = create_descriptor(descriptor_name)
+
+    def run(img, mask=None):
+        kps = det(img, mask)
+        d = desc(img, kps)
+        return kps, d
+
+    return run

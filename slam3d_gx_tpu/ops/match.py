@@ -1,0 +1,71 @@
+"""Brute-force descriptor matching on the MXU.
+
+Parity target: cv::FlannBasedMatcher::match as used by the reference for
+both descriptors (src/GraphicEnd.cpp:486-520) and plane-coefficient
+matching (src/GraphicEnd.cpp:459-484), plus the reference's good-match
+filter: keep matches with distance <= 3 * min_dist where min_dist starts
+at 100 (src/GraphicEnd.cpp:496-517); the exp1 variant floors the bound at
+5.0 (src/exp1/exp1.cpp:315-321).
+
+TPU-native: exact nearest neighbour via one (M,D)x(D,N) matmul + argmin —
+exact beats approximate FLANN at SLAM sizes (M,N <= 1k) and the matmul
+lands on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@jax.jit
+def l2_distance_matrix(a, b):
+    """(M,D),(N,D) -> (M,N) Euclidean distances."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    aa = jnp.sum(a * a, axis=1, keepdims=True)
+    bb = jnp.sum(b * b, axis=1, keepdims=True)
+    d2 = aa + bb.T - 2.0 * jnp.matmul(a, b.T, precision=_HI)
+    return jnp.sqrt(jnp.clip(d2, 0.0, None))
+
+
+@jax.jit
+def match_nn(desc1, valid1, desc2, valid2):
+    """Nearest neighbour in desc2 for every desc1 row.
+
+    Returns (train_idx (M,) int32, distance (M,) f32, valid (M,) bool).
+    Invalid queries/trains are excluded; a query with no valid train gets
+    valid=False.
+    """
+    d = l2_distance_matrix(desc1, desc2)
+    d = jnp.where(valid2[None, :], d, jnp.inf)
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    dist = jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0]
+    ok = valid1 & jnp.isfinite(dist)
+    return idx, jnp.where(ok, dist, jnp.inf), ok
+
+
+@functools.partial(jax.jit, static_argnames=())
+def good_match_filter(dist, valid, ratio: float = 3.0, init_min: float = 100.0,
+                      floor: float = 0.0):
+    """The reference's min-dist ratio gate.
+
+    min_dist = min(init_min, min(valid distances)); keep
+    dist <= max(ratio * min_dist, floor). init_min=100 reproduces the
+    reference's quirk that min_dist never exceeds 100.
+    """
+    min_dist = jnp.min(jnp.where(valid, dist, jnp.inf))
+    min_dist = jnp.minimum(min_dist, init_min)
+    bound = jnp.maximum(ratio * min_dist, floor)
+    return valid & (dist <= bound)
+
+
+@jax.jit
+def match_planes(coeffs1, valid1, coeffs2, valid2):
+    """Plane-set matcher: 4-vector (a,b,c,d) coefficients as descriptors
+    (reference src/GraphicEnd.cpp:459-484; no ratio filter there)."""
+    return match_nn(coeffs1, valid1, coeffs2, valid2)
