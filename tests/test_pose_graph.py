@@ -1,0 +1,136 @@
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from slam3d_gx_tpu.backend import PoseGraphOptimizer, SLAMEnd
+from slam3d_gx_tpu.geometry import se3
+
+
+def random_pose(rng, rot_scale=0.5, t_scale=1.0):
+    rvec = rng.normal(size=3)
+    rvec = rvec / np.linalg.norm(rvec) * rng.uniform(0, rot_scale)
+    return se3.make_isometry(se3.rodrigues(rvec), rng.normal(size=3) * t_scale)
+
+
+def relative(Ta, Tb):
+    return se3.inverse(Ta) @ Tb
+
+
+def build_noisy_ring(rng, n=12, noise_rot=0.03, noise_t=0.05):
+    """Ground-truth ring of poses; odometry edges with noise + exact loop
+    closure. Returns (gt_poses, optimizer)."""
+    gt = [np.eye(4)]
+    for i in range(1, n):
+        gt.append(gt[-1] @ random_pose(rng, 0.4, 0.5))
+    opt = PoseGraphOptimizer()
+    # initialize: integrate the noisy odometry (what SLAM would have)
+    noisy_rel = []
+    for i in range(n - 1):
+        Z = relative(gt[i], gt[i + 1])
+        dZ = se3.make_isometry(
+            se3.rodrigues(rng.normal(size=3) * noise_rot),
+            rng.normal(size=3) * noise_t,
+        )
+        noisy_rel.append(Z @ dZ)
+    init = [np.eye(4)]
+    for i in range(n - 1):
+        init.append(init[-1] @ noisy_rel[i])
+    info = np.eye(6) * 100.0
+    opt.add_vertex(0, init[0], fixed=True)
+    for i in range(1, n):
+        opt.add_vertex(i, init[i])
+    for i in range(n - 1):
+        opt.add_edge(i, i + 1, noisy_rel[i], info)
+    # exact loop-closure edges pin the drift
+    opt.add_edge(0, n - 1, relative(gt[0], gt[n - 1]), info, robust=True)
+    opt.add_edge(0, n // 2, relative(gt[0], gt[n // 2]), info, robust=True)
+    opt.add_edge(n // 4, 3 * n // 4, relative(gt[n // 4], gt[3 * n // 4]), info, robust=True)
+    return gt, init, opt
+
+
+def ate(gt, est):
+    return np.sqrt(
+        np.mean([np.sum((g[:3, 3] - e[:3, 3]) ** 2) for g, e in zip(gt, est)])
+    )
+
+
+def test_lm_reduces_error(rng):
+    gt, init, opt = build_noisy_ring(rng)
+    before = ate(gt, init)
+    chi = opt.optimize(n_iters=30)
+    est = [opt.vertex_estimate(i) for i in range(len(gt))]
+    after = ate(gt, est)
+    # the MAP estimate under this noise keeps a floor of residual ATE;
+    # the optimizer converges there in ~10 iterations
+    assert after < before * 0.65, f"ATE before {before}, after {after}"
+    assert np.isfinite(chi)
+
+
+def test_fixed_vertex_stays_fixed(rng):
+    gt, init, opt = build_noisy_ring(rng)
+    opt.optimize(n_iters=10)
+    np.testing.assert_allclose(opt.vertex_estimate(0), np.eye(4), atol=1e-12)
+
+
+def test_rotations_stay_orthonormal(rng):
+    gt, init, opt = build_noisy_ring(rng)
+    opt.optimize(n_iters=30)
+    for i in range(len(gt)):
+        R = opt.vertex_estimate(i)[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def test_perfect_graph_is_stationary(rng):
+    """Consistent measurements + consistent init -> chi ~ 0, poses kept."""
+    gt = [np.eye(4)]
+    for i in range(1, 6):
+        gt.append(gt[-1] @ random_pose(rng, 0.3, 0.4))
+    opt = PoseGraphOptimizer()
+    opt.add_vertex(0, gt[0], fixed=True)
+    for i in range(1, 6):
+        opt.add_vertex(i, gt[i])
+    for i in range(5):
+        opt.add_edge(i, i + 1, relative(gt[i], gt[i + 1]), np.eye(6) * 100)
+    chi = opt.optimize(n_iters=5)
+    assert chi < 1e-4
+    for i in range(6):
+        np.testing.assert_allclose(opt.vertex_estimate(i), gt[i], atol=1e-4)
+
+
+def test_robust_kernel_downweights_outlier_edge(rng):
+    """A single wildly-wrong robust loop edge must not destroy the graph."""
+    gt, init, opt = build_noisy_ring(rng)
+    bogus = se3.make_isometry(se3.rodrigues([0, 2.5, 0]), [5.0, 5.0, 5.0])
+    opt.add_edge(1, 8, bogus, np.eye(6) * 100.0, robust=True)
+    opt.optimize(n_iters=30)
+    est = [opt.vertex_estimate(i) for i in range(len(gt))]
+    assert ate(gt, est) < 0.25
+
+
+def test_unconstrained_vertex_survives(rng):
+    """lostRecovery inserts a vertex with no edges (reference
+    src/GraphicEnd.cpp:792) — the solve must stay well-posed."""
+    gt, init, opt = build_noisy_ring(rng)
+    opt.add_vertex(99, random_pose(rng))
+    chi = opt.optimize(n_iters=10)
+    assert np.isfinite(chi)
+    R = opt.vertex_estimate(99)[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_save_load_optimize_roundtrip(rng, tmp_path):
+    """The checkpoint/resume contract: save pre-optimization graph, reload,
+    optimize from files alone (reference saveOutput/generateTrajectory)."""
+    gt, init, opt = build_noisy_ring(rng)
+    p = str(tmp_path / "final.g2o")
+    opt.save(p)
+    opt2 = PoseGraphOptimizer()
+    opt2.load(p)
+    opt2.optimize(n_iters=30)
+    est = [opt2.vertex_estimate(i) for i in range(len(gt))]
+    assert ate(gt, est) < 0.25
+
+
+def test_slamend_shell():
+    end = SLAMEnd()
+    end.init(None)
+    assert end.globalOptimizer is end.optimizer
