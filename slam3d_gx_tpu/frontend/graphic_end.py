@@ -1,0 +1,469 @@
+"""Host SLAM state machine: GraphicEnd (planes) and GraphicEnd2 (image-only).
+
+Imperative shell around the jitted pipeline (pipeline.py). Replicates the
+reference's per-frame control flow branch-for-branch:
+
+- GraphicEnd::run (reference src/GraphicEnd.cpp:150-264): lost handling
+  with last-frame rescue, keyframe decision at max_pos_change, loop
+  closure, lost counter -> lostRecovery;
+- generateKeyFrame edges with information diag(100) and optional odometry
+  edges at 1/sigma^2 (src/GraphicEnd.cpp:304-351);
+- loopClosure: deterministic -3/-4 checks + `loopclosure_frames` random
+  draws over keyframes[0..size-4], dedup via `checked`
+  (src/GraphicEnd.cpp:685-762);
+- lostRecovery: unconstrained vertex + all-history scan or odometry edge
+  (src/GraphicEnd.cpp:764-838);
+- findMoreLoops/check/checknearby post-hoc loop expansion
+  (src/GraphicEnd.cpp:864-947);
+- saveFinalResult: findMoreLoops -> optimize(optimize_step) ->
+  keyframe.txt + final_after.g2o (src/GraphicEnd.cpp:661-682);
+- logs: error_of_transform.log (9999 = lost), lc.txt, lost.txt
+  (src/GraphicEnd.cpp:153,176,775,861).
+
+Deliberate deltas (documented, TPU-native):
+- RNG is seeded (config `seed`) instead of srand(time(0));
+- the debug imshow/waitKey UI is headless (step_time is accepted and
+  ignored); lc.txt and the logs carry the same information.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ParameterReader
+from ..geometry import se3
+from ..io import images, pcd, tum
+from ..ops import pointcloud
+from . import pipeline
+from .state import FrameFeatures, Keyframe, result_to_host
+
+INFO_VISUAL = np.diag([100.0] * 6)
+
+CLOUD_CAP = 1 << 16  # voxel-grid output capacity fed to plane RANSAC
+
+
+class GraphicEnd:
+    """Plane-feature SLAM frontend."""
+
+    image_only = False
+
+    def __init__(self, params: Optional[ParameterReader] = None, data_dir: str = "./data"):
+        self.params = params if params is not None else ParameterReader("./parameters.yaml")
+        p = self.params
+        self.data_dir = data_dir
+        self.intr = p.intrinsics
+
+        self.detector_name = p.GetPara("detector_name")
+        self.descriptor_name = p.GetPara("descriptor_name")
+        self.start_index = p.get_int("start_index")
+        self.step_time = p.get_int("step_time")  # accepted, headless
+        self.distance_threshold = p.get_float("distance_threshold")
+        self.error_threshold = p.get_float("error_threshold")
+        self.min_error_plane = p.get_float("min_error_plane")
+        self.match_min_dist = p.get_float("match_min_dist")
+        self.percent = p.get_float("plane_percent")
+        self.max_pos_change = p.get_float("max_pos_change")
+        self.max_planes = p.get_int("max_planes")
+        self.loopclosure_frames = p.get_int("loopclosure_frames")
+        self.loop_closure_detection = p.get_bool("loop_closure_detection")
+        self.loop_closure_error = p.get_float("loop_closure_error")
+        self.loop_closure_inliers = p.get_int("loop_closure_inliers")
+        self.lost_frames = p.get_int("lost_frames")
+        self.use_odometry = p.get_bool("use_odometry")
+        self.error_odometry = p.get_float("error_odometry")
+        self.z_filter = p.get_float("z_filter")
+        self.grid_leaf = p.get_float("grid_leaf")
+        self.max_kp = p.get_int("max_keypoints")
+        self.hypotheses = p.get_int("ransac_hypotheses")
+        self.seed = p.get_int("seed")
+
+        self.rgb_path, self.dep_path, self.pcl_path = tum.dataset_paths(
+            p.GetPara("data_source")
+        )
+
+        self._rng = random.Random(self.seed)
+        self._key = jax.random.PRNGKey(self.seed)
+        self._build_pipeline()
+
+        # state
+        self.robot = np.eye(4)
+        self.kf_pos = np.eye(4)
+        self.keyframes: List[Keyframe] = []
+        self.curr_kf: Optional[Keyframe] = None
+        self.present: Optional[FrameFeatures] = None
+        self.last: Optional[FrameFeatures] = None
+        self.last_frame_index = 0
+        self.lost = 0
+        self.index = self.start_index
+        self.odometry: List[np.ndarray] = []
+        self.odo_this = np.eye(4)
+        self.odo_last = np.eye(4)
+        self._errorfile = None
+        self._lcfile = None
+
+    # -- construction ------------------------------------------------------
+    def _build_pipeline(self):
+        self.extract = pipeline.build_plane_extractor(
+            self.detector_name, self.descriptor_name, self.intr,
+            max_planes=self.max_planes, max_kp=self.max_kp,
+            dist_thresh=self.distance_threshold, percent=self.percent,
+            hypotheses=self.hypotheses,
+        )
+        self.multipnp = pipeline.build_multipnp_planes(
+            self.intr, error_threshold=self.error_threshold,
+            hypotheses=self.hypotheses,
+        )
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- io ------------------------------------------------------------------
+    def _log(self, name: str, text: str, append: bool = True):
+        os.makedirs(self.data_dir, exist_ok=True)
+        mode = "a" if append else "w"
+        with open(os.path.join(self.data_dir, name), mode) as f:
+            f.write(text)
+
+    def readimage(self):
+        gray = images.load_gray(os.path.join(self.rgb_path, f"{self.index}.png"))
+        depth = images.load_depth(os.path.join(self.dep_path, f"{self.index}.png"))
+        xyz, rgba = pcd.read_pcd(os.path.join(self.pcl_path, f"{self.index}.pcd"))
+        # pad the raw cloud to a power-of-two bucket: per-frame point counts
+        # vary and would otherwise recompile the filter kernels every frame
+        n = xyz.shape[0]
+        cap = 1024
+        while cap < n:
+            cap *= 2
+        xyz_p = np.zeros((cap, 3), np.float32)
+        xyz_p[:n] = xyz
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        # z passthrough then voxel grid (reference src/GraphicEnd.cpp:283-295)
+        xyz_j = jnp.asarray(xyz_p)
+        mask_j = pointcloud.passthrough_z(xyz_j, jnp.asarray(mask), 0.0, self.z_filter)
+        vx, _, vm = pointcloud.voxel_downsample(
+            xyz_j, jnp.zeros_like(xyz_j), mask_j, self.grid_leaf,
+            capacity=min(cap, CLOUD_CAP),
+        )
+        if vx.shape[0] < CLOUD_CAP:
+            pad = CLOUD_CAP - vx.shape[0]
+            vx = jnp.concatenate([vx, jnp.zeros((pad, 3), vx.dtype)])
+            vm = jnp.concatenate([vm, jnp.zeros((pad,), bool)])
+        self.curr_gray = jnp.asarray(gray)
+        self.curr_depth = jnp.asarray(depth)
+        self.curr_cloud = vx
+        self.curr_cloud_mask = vm
+
+    def _extract_present(self) -> FrameFeatures:
+        return self.extract(
+            self.curr_gray, self.curr_depth, self.curr_cloud,
+            self.curr_cloud_mask, self.next_key(),
+        )
+
+    # -- init -----------------------------------------------------------------
+    def init(self, slam_end):
+        self.slam_end = slam_end
+        self.opt = slam_end.globalOptimizer
+        if self.use_odometry:
+            self.odometry = tum.read_odometry(
+                os.path.join(self.params.GetPara("data_source"), "associate.txt")
+            )
+            self.odo_this = self.odo_last = self.odometry[self.index - 1]
+
+        self._log("error_of_transform.log", "", append=False)
+
+        self.readimage()
+        feats = self._extract_present()
+        self.curr_kf = Keyframe(id=0, frame_index=self.index, features=feats)
+        self.keyframes.append(self.curr_kf)
+        est = self.odo_this if self.use_odometry else self.robot
+        self.opt.add_vertex(0, est, fixed=True)
+        self.last = feats
+        self.last_frame_index = self.index
+        self.index += 1
+
+    # -- per-frame step ---------------------------------------------------------
+    def run(self):
+        self.readimage()
+        present = self._extract_present()
+        self.present = present
+
+        res = self.multipnp(
+            self.curr_kf.features, present, self.next_key(), 12
+        )
+        T, norm, inliers, ok = result_to_host(res)
+        T = se3.inverse(T)  # "好像是反着的" (src/GraphicEnd.cpp:170)
+
+        if not ok:
+            self._log("error_of_transform.log", "9999\n")
+            if self.use_odometry:
+                self.lost += 1
+            else:
+                self._rescue_with_last(present)
+        elif norm > self.max_pos_change:
+            self._log("error_of_transform.log", f"{norm:g}\n")
+            self.robot = T @ self.kf_pos
+            self.generate_keyframe(T, present)
+            if self.loop_closure_detection:
+                self.loop_closure()
+            self.lost = 0
+            self.last = present
+            self.last_frame_index = self.index
+        else:
+            self._log("error_of_transform.log", f"{norm:g}\n")
+            self.robot = T @ self.kf_pos
+            self.lost = 0
+            self.last = present
+            self.last_frame_index = self.index
+
+        if self.lost > self.lost_frames:
+            self.lost_recovery(present)
+            self.last = present
+            self.last_frame_index = self.index
+
+        self.index += 1
+        if self.use_odometry:
+            self.odo_this = self.odometry[self.index - 1]
+        return 1
+
+    def _rescue_with_last(self, present: FrameFeatures):
+        """Lost branch: try matching last ordinary frame; on success promote
+        BOTH last and present to keyframes (src/GraphicEnd.cpp:183-227)."""
+        r = self.multipnp(self.last, present, self.next_key(), 12)
+        _, r_norm, r_inl, r_ok = result_to_host(r)
+        if (not r_ok) or r_inl < self.loop_closure_inliers or r_norm > self.loop_closure_error:
+            self.lost += 1
+            return
+        self.lost = 0
+        rr = self.multipnp(self.curr_kf.features, self.last, self.next_key(), 12)
+        rr_T, _, _, _ = result_to_host(rr)
+        # promote last
+        new_id = self.curr_kf.id + 1
+        self.curr_kf = Keyframe(id=new_id, frame_index=self.index - 1, features=self.last)
+        self.keyframes.append(self.curr_kf)
+        est = self.odo_this if self.use_odometry else np.eye(4)
+        self.opt.add_vertex(new_id, est)
+        self.opt.add_edge(new_id - 1, new_id, se3.inverse(rr_T), INFO_VISUAL)
+        # then promote present too
+        r_T = np.asarray(r.T, dtype=np.float64)
+        self.generate_keyframe(se3.inverse(r_T), present)
+        self.last = present
+        self.last_frame_index = self.index
+
+    def generate_keyframe(self, T: np.ndarray, present: FrameFeatures):
+        new_id = self.curr_kf.id + 1
+        self.kf_pos = self.robot
+        self.curr_kf = Keyframe(id=new_id, frame_index=self.index, features=present)
+        self.keyframes.append(self.curr_kf)
+        est = self.odo_this if self.use_odometry else np.eye(4)
+        self.opt.add_vertex(new_id, est)
+        self.opt.add_edge(new_id - 1, new_id, T, INFO_VISUAL)
+        if self.use_odometry:
+            To = se3.inverse(self.odo_last) @ self.odo_this
+            info = np.eye(6) / (self.error_odometry**2)
+            self.opt.add_edge(new_id - 1, new_id, To, info)
+            self.odo_last = self.odo_this
+
+    # -- loop closure -------------------------------------------------------
+    def _try_loop_edge(self, kf: Keyframe, record: bool) -> bool:
+        res = self.multipnp(
+            kf.features, self.curr_kf.features, self.next_key(),
+            self.loop_closure_inliers,
+        )
+        T, norm, inl, ok = result_to_host(res)
+        if not ok:
+            return False
+        if norm > self.loop_closure_error or inl < self.loop_closure_inliers:
+            return False
+        T = se3.inverse(T)
+        if record:
+            self.display_lc(kf.frame_index, self.curr_kf.frame_index, norm, inl)
+        self.opt.add_edge(kf.id, self.curr_kf.id, T, INFO_VISUAL, robust=True)
+        return True
+
+    def loop_closure(self):
+        if len(self.keyframes) <= 3:
+            return
+        # deterministic: keyframes -3 and -4 (src/GraphicEnd.cpp:694-725)
+        for i in (-3, -4):
+            n = len(self.keyframes) + i
+            if n >= 0:
+                self._try_loop_edge(self.keyframes[n], record=False)
+            else:
+                break
+        # random draws (src/GraphicEnd.cpp:729-761)
+        checked: List[int] = []
+        for _ in range(self.loopclosure_frames):
+            frame = self._rng.randrange(len(self.keyframes) - 3)
+            if frame in checked:
+                continue
+            checked.append(frame)
+            if self._try_loop_edge(self.keyframes[frame], record=True):
+                self.keyframes[-1].connect.append(frame)
+
+    def lost_recovery(self, present: FrameFeatures):
+        new_id = self.curr_kf.id + 1
+        self.kf_pos = self.robot
+        self.curr_kf = Keyframe(id=new_id, frame_index=self.index, features=present)
+        self._log("lost.txt", f"{new_id} {self.index}\n")
+        self.keyframes.append(self.curr_kf)
+        est = self.odo_this if self.use_odometry else np.eye(4)
+        self.opt.add_vertex(new_id, est)  # unconstrained (src/GraphicEnd.cpp:792)
+        if self.use_odometry:
+            To = se3.inverse(self.odo_last) @ self.odo_this
+            info = np.eye(6) / (self.error_odometry**2)
+            self.opt.add_edge(new_id - 1, new_id, To, info)
+            self.odo_last = self.odo_this
+            self.lost = 0
+            return
+        # brute-force re-localization against the whole history
+        for i in range(len(self.keyframes) - 1):
+            res = self.multipnp(
+                self.keyframes[i].features, self.curr_kf.features,
+                self.next_key(), 12,
+            )
+            T, norm, inl, ok = result_to_host(res)
+            if not ok or inl < self.loop_closure_inliers or norm > self.loop_closure_error:
+                continue
+            self.opt.add_edge(
+                self.keyframes[i].id, new_id, se3.inverse(T), INFO_VISUAL, robust=True
+            )
+            self.keyframes[-1].connect.append(i)
+        self.lost = 0
+
+    def display_lc(self, frame1: int, frame2: int, norm: float, inliers: int):
+        if self._lcfile is None:
+            self._log("lc.txt", "", append=False)
+            self._lcfile = True
+        self._log("lc.txt", f"{frame1} {frame2} {norm:g} {inliers}\n")
+
+    # -- post-hoc loop expansion (src/GraphicEnd.cpp:864-947) ---------------
+    def check(self, k1: int, k2: int) -> bool:
+        res = self.multipnp(
+            self.keyframes[k1].features, self.keyframes[k2].features,
+            self.next_key(), self.loop_closure_inliers,
+        )
+        T, norm, inl, ok = result_to_host(res)
+        if not ok or norm > self.loop_closure_error or inl < self.loop_closure_inliers:
+            return False
+        self.opt.add_edge(
+            self.keyframes[k1].id, self.keyframes[k2].id, se3.inverse(T),
+            INFO_VISUAL, robust=True,
+        )
+        self._more_loops += 1
+        return True
+
+    def checknearby(self, source: int, target: int) -> List[int]:
+        checked = []
+        index = target
+        while index > 0:
+            index -= 1
+            if index == source:
+                continue
+            if self.check(source, index):
+                checked.append(index)
+            else:
+                break
+        index = target
+        while index < len(self.keyframes) - 1:
+            index += 1
+            if index == source:
+                continue
+            if self.check(source, index):
+                checked.append(index)
+            else:
+                break
+        return checked
+
+    def find_more_loops(self):
+        self._more_loops = 0
+        for i, kf in enumerate(self.keyframes):
+            if not kf.connect:
+                continue
+            for j in kf.connect:
+                checked = self.checknearby(i, j)
+                for k in checked:
+                    self.checknearby(k, i)
+
+    def save_final_result(self, fileaddr: str = ""):
+        """NB: mirrors the reference in ignoring `fileaddr` and writing the
+        fixed data-dir paths (src/GraphicEnd.cpp:661-682)."""
+        self.find_more_loops()
+        self.opt.optimize(self.params.get_int("optimize_step"))
+        os.makedirs(self.data_dir, exist_ok=True)
+        tum.write_keyframes(
+            os.path.join(self.data_dir, "keyframe.txt"),
+            [(kf.id, kf.frame_index) for kf in self.keyframes],
+        )
+        self.opt.save(os.path.join(self.data_dir, "final_after.g2o"))
+
+    # reference-name aliases
+    saveFinalResult = save_final_result  # noqa: N815
+    generateKeyFrame = generate_keyframe  # noqa: N815
+    loopClosure = loop_closure  # noqa: N815
+    lostRecovery = lost_recovery  # noqa: N815
+
+
+class GraphicEnd2(GraphicEnd):
+    """Image-only frontend (reference src/GraphicEnd2.cpp): whole image as
+    one pseudo-plane, no point clouds, no last-frame rescue."""
+
+    image_only = True
+
+    def _build_pipeline(self):
+        self.extract_img = pipeline.build_image_extractor(
+            self.detector_name, self.descriptor_name, self.intr,
+            max_kp=self.max_kp,
+        )
+        self.multipnp = pipeline.build_multipnp_image(
+            self.intr, error_threshold=self.error_threshold,
+            hypotheses=self.hypotheses,
+        )
+
+    def readimage(self):
+        gray = images.load_gray(os.path.join(self.rgb_path, f"{self.index}.png"))
+        depth = images.load_depth(os.path.join(self.dep_path, f"{self.index}.png"))
+        self.curr_gray = jnp.asarray(gray)
+        self.curr_depth = jnp.asarray(depth)
+
+    def _extract_present(self) -> FrameFeatures:
+        return self.extract_img(self.curr_gray, self.curr_depth)
+
+    def run(self):
+        self.readimage()
+        present = self._extract_present()
+        self.present = present
+
+        res = self.multipnp(self.curr_kf.features, present, self.next_key(), 12)
+        T, norm, inliers, ok = result_to_host(res)
+        T = se3.inverse(T)
+
+        if not ok:
+            self._log("error_of_transform.log", "9999\n")
+            self.lost += 1
+        elif norm > self.max_pos_change:
+            self._log("error_of_transform.log", f"{norm:g}\n")
+            self.robot = T @ self.kf_pos
+            self.generate_keyframe(T, present)
+            if self.loop_closure_detection:
+                self.loop_closure()
+            self.lost = 0
+        else:
+            self._log("error_of_transform.log", f"{norm:g}\n")
+            self.robot = T @ self.kf_pos
+            self.lost = 0
+
+        if self.lost > self.lost_frames:
+            self.lost_recovery(present)
+
+        self.index += 1
+        if self.use_odometry:
+            self.odo_this = self.odometry[self.index - 1]
+        return 0

@@ -1,0 +1,277 @@
+"""Jit-compiled per-frame compute: feature extraction and multiPnP.
+
+The functional core of the frontend (SURVEY.md §7): everything here is
+fixed-shape and jitted once per configuration; the host state machine in
+graphic_end.py only reads back scalars and 4x4 poses.
+
+Parity anchors:
+- plane-frame extraction mirrors extractPlanesAndGenerateImage + per-plane
+  extractKeypoints(image, mask) / extractDescriptor(_currRGB, kp) /
+  compute3dPosition (reference src/GraphicEnd.cpp:128-134, 353-457);
+  detection runs on the equalized masked plane image, descriptors on the
+  full grayscale frame, exactly like the reference;
+- image-frame extraction mirrors GraphicEnd2::extractKPandDesp +
+  its zero-depth-dropping compute3dPosition (src/GraphicEnd2.cpp:203-233);
+- multipnp_planes follows GraphicEnd::multiPnP step-for-step
+  (src/GraphicEnd.cpp:557-659): plane match -> per-pair pnp inliers pooled
+  -> global RANSAC(8px) -> inlier gate -> re-RANSAC(3px, extrinsic guess)
+  -> norm gate; failure returns Identity (the caller's lost sentinel);
+- multipnp_image follows GraphicEnd2::multiPnP (src/GraphicEnd2.cpp:235-312):
+  single match -> RANSAC(8px) -> inlier gate -> norm2 gate, no second solve.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraIntrinsics
+from ..ops import imageproc, lie, match, plane_ransac, pnp, pointcloud
+from ..ops.features import registry
+from .state import FrameFeatures, MultiPnPResult
+
+
+# ---------------------------------------------------------------------------
+# 3D backprojection of keypoints
+# ---------------------------------------------------------------------------
+
+
+def _kp_depths(depth, uv):
+    """Raw depth at rounded keypoint pixels (reference compute3dPosition
+    reads depth.at<ushort>(round(v), round(u)), src/GraphicEnd.cpp:438)."""
+    H, W = depth.shape
+    u = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, W - 1)
+    v = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, H - 1)
+    return depth[v, u].astype(jnp.float32)
+
+
+def compute_kp3d_plane(depth, uv, coeff, intr: CameraIntrinsics):
+    """Pinhole backprojection; zero-depth keypoints fall back to the
+    plane-ray intersection (reference src/GraphicEnd.cpp:440-455)."""
+    d = _kp_depths(depth, uv)
+    k1 = (uv[..., 0] - intr.cx) / intr.fx
+    k2 = (uv[..., 1] - intr.cy) / intr.fy
+    z_meas = d / intr.factor
+    a, b, c, e = coeff[0], coeff[1], coeff[2], coeff[3]
+    denom = a * k1 + b * k2 + c
+    z_plane = -e / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9)
+    z = jnp.where(d > 0, z_meas, z_plane)
+    return jnp.stack([k1 * z, k2 * z, z], axis=-1), jnp.ones(uv.shape[:-1], bool)
+
+
+def compute_kp3d_drop(depth, uv, intr: CameraIntrinsics):
+    """GraphicEnd2 variant: zero-depth keypoints are dropped
+    (src/GraphicEnd2.cpp:221-225)."""
+    d = _kp_depths(depth, uv)
+    z = d / intr.factor
+    k1 = (uv[..., 0] - intr.cx) / intr.fx
+    k2 = (uv[..., 1] - intr.cy) / intr.fy
+    return jnp.stack([k1 * z, k2 * z, z], axis=-1), d > 0
+
+
+# ---------------------------------------------------------------------------
+# frame extraction
+# ---------------------------------------------------------------------------
+
+
+def build_plane_extractor(
+    detector_name: str,
+    descriptor_name: str,
+    intr: CameraIntrinsics,
+    max_planes: int = 3,
+    max_kp: int = 512,
+    dist_thresh: float = 0.08,
+    percent: float = 0.2,
+    hypotheses: int = 256,
+) -> Callable:
+    """Returns jitted extract(gray, depth, cloud_xyz, cloud_mask, key)
+    -> FrameFeatures with P=max_planes."""
+    detect = registry.create_detector(detector_name, max_kp)
+    describe = registry.create_descriptor(descriptor_name)
+
+    @jax.jit
+    def extract(gray, depth, cloud_xyz, cloud_mask, key):
+        coeffs, masks, valids, _ = plane_ransac.extract_planes(
+            cloud_xyz, cloud_mask, key,
+            max_planes=max_planes, dist_thresh=dist_thresh,
+            percent=percent, hypotheses=hypotheses,
+        )
+        uv_all, kp3d_all, desc_all, kpv_all = [], [], [], []
+        for p in range(max_planes):
+            img_p, mask_p = imageproc.splat_plane_image(
+                cloud_xyz, masks[p], gray, intr.fx, intr.fy, intr.cx, intr.cy,
+                height=gray.shape[0], width=gray.shape[1],
+            )
+            img_p = imageproc.equalize_hist(img_p)
+            kps = detect(img_p, mask_p)
+            kps = kps._replace(valid=kps.valid & valids[p])
+            desc = describe(gray, kps)
+            kp3d, v3 = compute_kp3d_plane(depth, kps.uv, coeffs[p], intr)
+            uv_all.append(kps.uv)
+            kp3d_all.append(kp3d)
+            desc_all.append(desc)
+            kpv_all.append(kps.valid & v3)
+        return FrameFeatures(
+            coeffs=coeffs,
+            plane_valid=valids,
+            uv=jnp.stack(uv_all),
+            kp3d=jnp.stack(kp3d_all),
+            desc=jnp.stack(desc_all),
+            kp_valid=jnp.stack(kpv_all),
+        )
+
+    return extract
+
+
+def build_image_extractor(
+    detector_name: str,
+    descriptor_name: str,
+    intr: CameraIntrinsics,
+    max_kp: int = 512,
+) -> Callable:
+    """GraphicEnd2 path: whole image = one pseudo-plane
+    (reference src/GraphicEnd2.cpp:133,156,203-212)."""
+    detect = registry.create_detector(detector_name, max_kp)
+    describe = registry.create_descriptor(descriptor_name)
+
+    @jax.jit
+    def extract(gray, depth):
+        kps = detect(gray)
+        kp3d, has_depth = compute_kp3d_drop(depth, kps.uv, intr)
+        kps = kps._replace(valid=kps.valid & has_depth)
+        desc = describe(gray, kps)
+        return FrameFeatures(
+            coeffs=jnp.zeros((1, 4), jnp.float32),
+            plane_valid=jnp.ones((1,), bool),
+            uv=kps.uv[None],
+            kp3d=kp3d[None],
+            desc=desc[None],
+            kp_valid=kps.valid[None],
+        )
+
+    return extract
+
+
+# ---------------------------------------------------------------------------
+# multiPnP
+# ---------------------------------------------------------------------------
+
+
+_IDENTITY = jnp.eye(4, dtype=jnp.float32)
+
+
+def _finish(rvec, tvec, norm, inliers, accept):
+    R = lie.rodrigues(rvec)
+    T = lie.make_T(R, tvec)
+    T = jnp.where(accept, T, _IDENTITY)
+    return MultiPnPResult(T=T, norm=norm, inliers=inliers, ok=accept)
+
+
+def build_multipnp_planes(
+    intr: CameraIntrinsics,
+    error_threshold: float = 1.0,
+    hypotheses: int = 256,
+) -> Callable:
+    """GraphicEnd::multiPnP (src/GraphicEnd.cpp:557-659).
+
+    minimum_inliers is a traced argument (12 normally, loop_closure_inliers
+    for loop closure — reference src/GraphicEnd.h:134).
+    """
+
+    @jax.jit
+    def multipnp(fa: FrameFeatures, fb: FrameFeatures, key, minimum_inliers):
+        P, K = fa.uv.shape[0], fa.uv.shape[1]
+        keys = jax.random.split(key, P + 2)
+
+        # plane match by (a,b,c,d) coefficients (src/GraphicEnd.cpp:561)
+        pidx, _, pvalid = match.match_planes(
+            fa.coeffs, fa.plane_valid, fb.coeffs, fb.plane_valid
+        )
+
+        obj_list, img_list, w_list = [], [], []
+        for p in range(P):
+            q = pidx[p]
+            uv_b = fb.uv[q]
+            desc_b = fb.desc[q]
+            kpv_b = fb.kp_valid[q]
+            midx, mdist, mok = match.match_nn(
+                fa.desc[p], fa.kp_valid[p], desc_b, kpv_b
+            )
+            good = match.good_match_filter(mdist, mok) & pvalid[p]
+            obj = fa.kp3d[p]
+            img = uv_b[midx]
+            res_p = pnp.solve_pnp_ransac(
+                obj, img, good, intr.fx, intr.fy, intr.cx, intr.cy,
+                keys[p], reproj_thresh=8.0, hypotheses=hypotheses,
+            )
+            # per-pair inliers pool into the global correspondence set
+            w_list.append(res_p.inliers & res_p.ok)
+            obj_list.append(obj)
+            img_list.append(img)
+
+        obj = jnp.concatenate(obj_list)
+        img = jnp.concatenate(img_list)
+        pooled = jnp.concatenate(w_list)
+
+        # global RANSAC at 8px (src/GraphicEnd.cpp:595)
+        res1 = pnp.solve_pnp_ransac(
+            obj, img, pooled, intr.fx, intr.fy, intr.cx, intr.cy,
+            keys[P], reproj_thresh=8.0, hypotheses=hypotheses,
+        )
+        n1 = res1.n_inliers
+        have_any = pooled.sum() >= 3
+
+        # refine on inliers at 3px with extrinsic guess (src/GraphicEnd.cpp:615)
+        res2 = pnp.solve_pnp_ransac(
+            obj, img, res1.inliers, intr.fx, intr.fy, intr.cx, intr.cy,
+            keys[P + 1], reproj_thresh=3.0, hypotheses=hypotheses,
+            guess_rvec=res1.rvec, guess_tvec=res1.tvec,
+        )
+
+        rn = jnp.linalg.norm(res2.rvec)
+        tn = jnp.linalg.norm(res2.tvec)
+        norm = jnp.abs(jnp.minimum(rn, 2 * jnp.pi - rn)) + 0.9 * jnp.abs(tn)
+
+        enough = (n1 >= minimum_inliers) & res1.ok & have_any
+        small = norm <= error_threshold
+        accept = enough & small & res2.ok
+        # reference reports norm/inliers even when gated (result.norm set
+        # before the threshold check, src/GraphicEnd.cpp:620-624)
+        norm_out = jnp.where(enough, norm, 0.0)
+        return _finish(res2.rvec, res2.tvec, norm_out, n1, accept)
+
+    return multipnp
+
+
+def build_multipnp_image(
+    intr: CameraIntrinsics,
+    error_threshold: float = 1.0,
+    hypotheses: int = 256,
+) -> Callable:
+    """GraphicEnd2::multiPnP (src/GraphicEnd2.cpp:235-312): single plane,
+    one RANSAC at 8px, inlier gate, norm2 formula, no second solve."""
+
+    @jax.jit
+    def multipnp(fa: FrameFeatures, fb: FrameFeatures, key, minimum_inliers):
+        midx, mdist, mok = match.match_nn(
+            fa.desc[0], fa.kp_valid[0], fb.desc[0], fb.kp_valid[0]
+        )
+        good = match.good_match_filter(mdist, mok)
+        obj = fa.kp3d[0]
+        img = fb.uv[0][midx]
+        res = pnp.solve_pnp_ransac(
+            obj, img, good, intr.fx, intr.fy, intr.cx, intr.cy,
+            key, reproj_thresh=8.0, hypotheses=hypotheses,
+        )
+        rn = jnp.linalg.norm(res.rvec)
+        tn = jnp.linalg.norm(res.tvec)
+        norm = jnp.abs(jnp.minimum(rn, 2 * jnp.pi - rn) + tn)
+        enough = (res.n_inliers >= minimum_inliers) & res.ok & (good.sum() > 0)
+        accept = enough & (norm <= error_threshold)
+        norm_out = jnp.where(enough, norm, 0.0)
+        return _finish(res.rvec, res.tvec, norm_out, res.n_inliers, accept)
+
+    return multipnp

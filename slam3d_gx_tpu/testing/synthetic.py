@@ -1,0 +1,218 @@
+"""Synthetic textured RGB-D scenes with exact ground truth.
+
+The reference is verified against TUM recordings; this environment has no
+dataset, so integration tests render an analytic "room" (bounded textured
+planes) instead: per-pixel ray casting gives photometrically consistent
+grayscale + exact depth from any camera pose, and the generator writes the
+reference's on-disk dataset contract (rgb_index/N.png, dep_index/N.png,
+pcd/N.pcd, associate.txt) so the full CLI pipeline runs unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..config import CameraIntrinsics
+from ..geometry import se3
+from ..io import images, pcd as pcd_io
+
+
+@dataclasses.dataclass
+class TexturedPlane:
+    """Plane n.x + d = 0 with an in-plane texture frame."""
+
+    normal: np.ndarray   # unit (3,)
+    d: float
+    origin: np.ndarray   # a point on the plane (3,)
+    axis_u: np.ndarray   # in-plane unit axes (3,)
+    axis_v: np.ndarray
+    extent: Tuple[float, float]  # half-sizes along u, v
+    texture: np.ndarray  # (T,T) float texture tile, values 0..255
+    tex_scale: float = 1.0  # world units per texture tile
+
+
+def _make_texture(rng, size=128, octaves=4):
+    tex = np.zeros((size, size))
+    for o in range(octaves):
+        step = size // (4 * 2**o)
+        if step < 1:
+            break
+        coarse = rng.random((size // step + 2, size // step + 2))
+        yy, xx = np.mgrid[0:size, 0:size] / step
+        y0 = yy.astype(int)
+        x0 = xx.astype(int)
+        fy = yy - y0
+        fx = xx - x0
+        v = (
+            coarse[y0, x0] * (1 - fy) * (1 - fx)
+            + coarse[y0 + 1, x0] * fy * (1 - fx)
+            + coarse[y0, x0 + 1] * (1 - fy) * fx
+            + coarse[y0 + 1, x0 + 1] * fy * fx
+        )
+        tex += v / (2**o)
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    return 30 + 200 * tex
+
+
+class RoomScene:
+    """Three textured walls of a room corner + floor."""
+
+    def __init__(self, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        ex = np.array([1.0, 0, 0])
+        ey = np.array([0, 1.0, 0])
+        ez = np.array([0, 0, 1.0])
+        self.planes: List[TexturedPlane] = [
+            # back wall z = 3.2 (normal -z facing camera)
+            TexturedPlane(-ez, 3.2, np.array([0, 0, 3.2]), ex, ey, (3.0, 2.2),
+                          _make_texture(rng), 1.3),
+            # left wall x = -2.0
+            TexturedPlane(ex, 2.0, np.array([-2.0, 0, 1.5]), ez, ey, (2.0, 2.2),
+                          _make_texture(rng), 1.1),
+            # right wall x = 2.0
+            TexturedPlane(-ex, 2.0, np.array([2.0, 0, 1.5]), ez, ey, (2.0, 2.2),
+                          _make_texture(rng), 1.2),
+            # floor y = 1.4
+            TexturedPlane(-ey, 1.4, np.array([0, 1.4, 1.5]), ex, ez, (3.0, 2.0),
+                          _make_texture(rng), 0.9),
+        ]
+
+    def sample_texture(self, plane: TexturedPlane, pts: np.ndarray) -> np.ndarray:
+        rel = pts - plane.origin
+        u = rel @ plane.axis_u / plane.tex_scale
+        v = rel @ plane.axis_v / plane.tex_scale
+        T = plane.texture.shape[0]
+        ui = np.mod(u * T, T)
+        vi = np.mod(v * T, T)
+        u0 = ui.astype(int) % T
+        v0 = vi.astype(int) % T
+        fu = ui - np.floor(ui)
+        fv = vi - np.floor(vi)
+        t = plane.texture
+        return (
+            t[v0, u0] * (1 - fu) * (1 - fv)
+            + t[v0, (u0 + 1) % T] * fu * (1 - fv)
+            + t[(v0 + 1) % T, u0] * (1 - fu) * fv
+            + t[(v0 + 1) % T, (u0 + 1) % T] * fu * fv
+        )
+
+
+def render_frame(
+    scene: RoomScene,
+    T_wc: np.ndarray,
+    intr: CameraIntrinsics,
+    height: int = 240,
+    width: int = 320,
+):
+    """Render (gray uint8, depth uint16) from camera-to-world pose T_wc."""
+    v, u = np.mgrid[0:height, 0:width].astype(np.float64)
+    d_cam = np.stack(
+        [(u - intr.cx) / intr.fx, (v - intr.cy) / intr.fy, np.ones_like(u)], -1
+    )
+    R = T_wc[:3, :3]
+    C = T_wc[:3, 3]
+    d_w = d_cam @ R.T  # (H,W,3)
+
+    best_t = np.full((height, width), np.inf)
+    gray = np.zeros((height, width))
+    for plane in scene.planes:
+        denom = d_w @ plane.normal
+        t = -(C @ plane.normal + plane.d) / np.where(np.abs(denom) > 1e-9, denom, 1e-9)
+        pts = C + t[..., None] * d_w
+        rel = pts - plane.origin
+        pu = rel @ plane.axis_u
+        pv = rel @ plane.axis_v
+        hit = (
+            (np.abs(denom) > 1e-9)
+            & (t > 0.05)
+            & (np.abs(pu) <= plane.extent[0])
+            & (np.abs(pv) <= plane.extent[1])
+            & (t < best_t)
+        )
+        if hit.any():
+            gray[hit] = scene.sample_texture(plane, pts[hit])
+            best_t[hit] = t[hit]
+
+    depth_m = np.where(np.isfinite(best_t), best_t, 0.0)  # z_cam == t (dz=1)
+    depth_raw = np.clip(np.round(depth_m * intr.factor), 0, 65535).astype(np.uint16)
+    return np.clip(np.round(gray), 0, 255).astype(np.uint8), depth_raw
+
+
+def orbit_trajectory(n: int, radius: float = 0.25, yaw_amp: float = 0.12) -> List[np.ndarray]:
+    """Small loop: camera translates on a circle and yaws, returning to
+    (near) the start — guarantees revisits for loop closure."""
+    out = []
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        t = np.array([radius * np.sin(a), 0.05 * np.sin(2 * a), 0.15 * (1 - np.cos(a))])
+        yaw = yaw_amp * np.sin(a)
+        R = se3.axis_angle_matrix(yaw, np.array([0.0, 1.0, 0.0]))
+        out.append(se3.make_isometry(R, t))
+    return out
+
+
+def write_dataset(
+    root: str,
+    scene: RoomScene,
+    trajectory: Sequence[np.ndarray],
+    intr: CameraIntrinsics,
+    height: int = 240,
+    width: int = 320,
+    write_pcd: bool = True,
+    start_ts: float = 1000.0,
+    noise_sigma: float = 2.0,
+    noise_seed: int = 99,
+):
+    """Write the reference dataset layout + associate.txt with ground truth
+    (timestamp tokens per src/GraphicEnd.h:148-157)."""
+    rgb_dir = os.path.join(root, "rgb_index")
+    dep_dir = os.path.join(root, "dep_index")
+    pcd_dir = os.path.join(root, "pcd")
+    os.makedirs(rgb_dir, exist_ok=True)
+    os.makedirs(dep_dir, exist_ok=True)
+    if write_pcd:
+        os.makedirs(pcd_dir, exist_ok=True)
+
+    noise_rng = np.random.default_rng(noise_seed)
+    rows = []
+    for i, T_wc in enumerate(trajectory, start=1):
+        gray, depth = render_frame(scene, T_wc, intr, height, width)
+        if noise_sigma > 0:
+            # sensor noise keeps SIFT min-distances realistic (a perfectly
+            # clean render makes the reference's 3*min_dist gate degenerate)
+            g = gray.astype(np.float64) + noise_rng.normal(0, noise_sigma, gray.shape)
+            gray = np.clip(np.round(g), 0, 255).astype(np.uint8)
+        images.save_gray(os.path.join(rgb_dir, f"{i}.png"), gray)
+        images.save_depth(os.path.join(dep_dir, f"{i}.png"), depth)
+        if write_pcd:
+            vv, uu = np.mgrid[0:height, 0:width]
+            z = depth.astype(np.float64) / intr.factor
+            valid = depth > 0
+            x = (uu - intr.cx) * z / intr.fx
+            y = (vv - intr.cy) * z / intr.fy
+            xyz = np.stack([x[valid], y[valid], z[valid]], -1).astype(np.float32)
+            g = gray[valid].astype(np.uint32)
+            rgba = (g << 16) | (g << 8) | g
+            pcd_io.write_pcd(os.path.join(pcd_dir, f"{i}.pcd"), xyz, rgba, binary=True)
+        ts = f"{start_ts + 0.033 * i:.6f}"
+        d7 = se3.get_estimate_data(T_wc)
+        pose = " ".join(f"{x:.9g}" for x in d7)
+        rows.append(f"{ts} rgb_index/{i}.png {ts} dep_index/{i}.png {ts} {pose}")
+    with open(os.path.join(root, "associate.txt"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+def ate_rmse(gt: Sequence[np.ndarray], est: Sequence[np.ndarray]) -> float:
+    """Translation ATE after first-pose gauge alignment."""
+    G0 = se3.inverse(gt[0])
+    E0 = se3.inverse(est[0])
+    errs = []
+    for g, e in zip(gt, est):
+        dg = (G0 @ g)[:3, 3]
+        de = (E0 @ e)[:3, 3]
+        errs.append(np.sum((dg - de) ** 2))
+    return float(np.sqrt(np.mean(errs)))

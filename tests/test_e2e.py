@@ -1,0 +1,163 @@
+"""End-to-end SLAM integration tests on synthetic RGB-D scenes.
+
+Covers the reference's workflow (README:43-78): run SLAM -> final.g2o /
+keyframe.txt / final_after.g2o -> generateTrajectory -> saveOutput, with
+ATE checked against the synthetic ground truth.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from slam3d_gx_tpu.backend import SLAMEnd
+from slam3d_gx_tpu.config import CameraIntrinsics, ParameterReader
+from slam3d_gx_tpu.geometry import se3
+from slam3d_gx_tpu.io import pcd as pcd_io, tum
+from slam3d_gx_tpu.testing import synthetic
+
+INTR = CameraIntrinsics(fx=260.0, fy=260.0, cx=160.0, cy=120.0, factor=5000.0)
+N_FRAMES = 12
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("room"))
+    scene = synthetic.RoomScene(seed=3)
+    traj = synthetic.orbit_trajectory(N_FRAMES, radius=0.2, yaw_amp=0.1)
+    synthetic.write_dataset(root, scene, traj, INTR, write_pcd=True)
+    return root, traj
+
+
+def make_params(root, **kw):
+    over = dict(
+        data_source=root, detector_name="GFTT", descriptor_name="SIFT",
+        camera_fx=INTR.fx, camera_fy=INTR.fy, camera_cx=INTR.cx,
+        camera_cy=INTR.cy, camera_factor=INTR.factor,
+        max_keypoints=256, ransac_hypotheses=128,
+        max_pos_change=0.05, end_index=100, grid_leaf=0.05,
+    )
+    over.update(kw)
+    return ParameterReader(None, overrides=over)
+
+
+@pytest.fixture(scope="module")
+def imageonly_run(dataset, tmp_path_factory):
+    from slam3d_gx_tpu.frontend import GraphicEnd2
+
+    root, traj = dataset
+    datadir = str(tmp_path_factory.mktemp("data_img"))
+    ge = GraphicEnd2(make_params(root), data_dir=datadir)
+    slam = SLAMEnd()
+    ge.init(slam)
+    slam.init(ge)
+    for _ in range(N_FRAMES - 1):
+        ge.run()
+    slam.globalOptimizer.save(os.path.join(datadir, "final.g2o"))
+    ge.save_final_result()
+    return ge, slam, datadir, traj, root
+
+
+def test_imageonly_tracks_and_closes_loops(imageonly_run):
+    ge, slam, datadir, traj, root = imageonly_run
+    assert len(ge.keyframes) >= 5
+    est = [ge.opt.vertex_estimate(kf.id) for kf in ge.keyframes]
+    gt = [traj[kf.frame_index - 1] for kf in ge.keyframes]
+    ate = synthetic.ate_rmse(gt, est)
+    assert ate < 0.05, f"ATE {ate}"
+
+
+def test_imageonly_artifacts(imageonly_run):
+    ge, slam, datadir, traj, root = imageonly_run
+    # error log: one row per run() call
+    log = open(os.path.join(datadir, "error_of_transform.log")).read().split()
+    assert len(log) == N_FRAMES - 1
+    kf = tum.read_keyframes(os.path.join(datadir, "keyframe.txt"))
+    assert [k for k, _ in kf] == list(range(len(ge.keyframes)))
+    # pre- and post-optimization graphs parse
+    from slam3d_gx_tpu.io import g2o_io
+
+    g_pre = g2o_io.load_g2o(os.path.join(datadir, "final.g2o"))
+    g_post = g2o_io.load_g2o(os.path.join(datadir, "final_after.g2o"))
+    assert set(g_pre.vertices) == set(g_post.vertices)
+    assert g_pre.vertices[0].fixed
+    assert len(g_pre.edges) >= len(ge.keyframes) - 1
+
+
+def test_generate_trajectory_cli(imageonly_run):
+    from slam3d_gx_tpu.cli import generate_trajectory
+
+    ge, slam, datadir, traj, root = imageonly_run
+    out = os.path.join(datadir, "trajectory.txt")
+    rc = generate_trajectory.generate(
+        os.path.join(datadir, "keyframe.txt"),
+        os.path.join(datadir, "final_after.g2o"),
+        params=make_params(root),
+        out_path=out,
+    )
+    assert rc == 0
+    rows = tum.read_trajectory(out)
+    assert len(rows) == len(ge.keyframes)
+    # timestamps must match the associate.txt rows of the keyframe frames
+    asso = tum.read_associate(os.path.join(root, "associate.txt"))
+    for (ts, pose7), kf in zip(rows, ge.keyframes):
+        assert abs(ts - float(asso[kf.frame_index - 1].rgb_ts)) < 1e-6
+
+
+def test_planes_pipeline_e2e(dataset, tmp_path_factory):
+    from slam3d_gx_tpu.frontend import GraphicEnd
+
+    root, traj = dataset
+    datadir = str(tmp_path_factory.mktemp("data_planes"))
+    ge = GraphicEnd(make_params(root), data_dir=datadir)
+    slam = SLAMEnd()
+    ge.init(slam)
+    slam.init(ge)
+    n = 5
+    for _ in range(n):
+        ge.run()
+    assert ge.lost == 0
+    assert len(ge.keyframes) >= 3
+    ge.save_final_result()
+    est = [ge.opt.vertex_estimate(kf.id) for kf in ge.keyframes]
+    gt = [traj[kf.frame_index - 1] for kf in ge.keyframes]
+    ate = synthetic.ate_rmse(gt, est)
+    assert ate < 0.06, f"ATE {ate}"
+    # planes were actually found
+    feats = ge.keyframes[-1].features
+    assert int(np.asarray(feats.plane_valid).sum()) >= 1
+
+
+def test_save_output_cli(imageonly_run):
+    from slam3d_gx_tpu.cli import save_output
+
+    ge, slam, datadir, traj, root = imageonly_run
+    out = os.path.join(datadir, "result.pcd")
+    rc = save_output.fuse_map(
+        os.path.join(datadir, "keyframe.txt"),
+        os.path.join(datadir, "final_after.g2o"),
+        pass_z=5.0,
+        params=make_params(root),
+        out_path=out,
+    )
+    assert rc == 0
+    xyz, rgba = pcd_io.read_pcd(out)
+    assert len(xyz) > 1000
+    # fused map should span the room walls (world frame ~ first camera)
+    assert xyz[:, 2].max() > 2.5
+    # back wall should fuse consistently: points near z=3.2 plane
+    back = xyz[np.abs(xyz[:, 2] - 3.2) < 0.1]
+    assert len(back) > 100
+
+
+def test_view_lc_cli(imageonly_run, tmp_path):
+    from slam3d_gx_tpu.cli import view_lc
+
+    ge, slam, datadir, traj, root = imageonly_run
+    lc = os.path.join(datadir, "lc.txt")
+    if not os.path.exists(lc):
+        pytest.skip("no loop closures recorded in this run")
+    out = str(tmp_path / "lcview")
+    rc = view_lc.view(lc, params=make_params(root), out_dir=out)
+    assert rc == 0
+    assert len(os.listdir(out)) > 0
