@@ -155,7 +155,11 @@ class PoseGraphOptimizer:
         self.graph = g2o_io.load_g2o(path)
 
     # --- optimization ---------------------------------------------------
-    def optimize(self, n_iters: int = 200, dtype=jnp.float32) -> float:
+    def optimize(self, n_iters: int = 200, dtype=jnp.float32, mesh=None) -> float:
+        """Run LM. With `mesh`, edge arrays are sharded over its "dp" axis
+        and XLA partitions the batched linearization across devices,
+        psum-reducing the scatter-assembled normal equations (the
+        multi-chip backend path, SURVEY.md §2.4 item 5)."""
         g = self.graph
         if not g.vertices or not g.edges:
             return 0.0
@@ -189,15 +193,29 @@ class PoseGraphOptimizer:
             e_robust[k] = e.robust
             e_valid[k] = True
 
-        poses_out, final_chi, _ = _optimize_padded(
-            jnp.asarray(poses, dtype=dtype),
-            jnp.asarray(fixed),
+        dev_poses = jnp.asarray(poses, dtype=dtype)
+        dev_fixed = jnp.asarray(fixed)
+        edge_arrays = [
             jnp.asarray(e_i),
             jnp.asarray(e_j),
             jnp.asarray(e_Zinv, dtype=dtype),
             jnp.asarray(e_info, dtype=dtype),
             jnp.asarray(e_robust),
             jnp.asarray(e_valid),
+        ]
+        if mesh is not None and "dp" in mesh.shape and ecap % mesh.shape["dp"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            dp = NamedSharding(mesh, PartitionSpec("dp"))
+            dev_poses = jax.device_put(dev_poses, rep)
+            dev_fixed = jax.device_put(dev_fixed, rep)
+            edge_arrays = [jax.device_put(a, dp) for a in edge_arrays]
+
+        poses_out, final_chi, _ = _optimize_padded(
+            dev_poses,
+            dev_fixed,
+            *edge_arrays,
             n_iters=n_iters,
             vcap=vcap,
         )

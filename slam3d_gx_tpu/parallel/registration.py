@@ -1,0 +1,131 @@
+"""Data-parallel batched pairwise registration.
+
+The reference verifies loop-closure candidates one multiPnP call at a
+time (30 random draws per keyframe, reference src/GraphicEnd.cpp:729-761)
+and runs registration sweeps one process per pair (exp1_2.py:19-27).
+All of those pairs are independent — the TPU-native design batches them
+with vmap and shards the batch axis over the "dp" mesh axis, so a
+loop-closure round or an exp1-style sweep is ONE device program.
+
+Used by:
+- frontend loopClosure / lostRecovery candidate verification;
+- the exp1_2 sweep harness (tools + cli/exp1_2);
+- bench.py registration throughput.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..config import CameraIntrinsics
+from ..frontend import pipeline
+from ..frontend.state import FrameFeatures, MultiPnPResult
+from . import mesh as mesh_mod
+
+P = PartitionSpec
+
+
+def stack_features(frames) -> FrameFeatures:
+    """Stack host-side FrameFeatures into one batched pytree (B, ...)."""
+    return FrameFeatures(*[
+        jnp.stack([np.asarray(getattr(f, name)) for f in frames])
+        for name in FrameFeatures._fields
+    ])
+
+
+def pad_batch(batch: FrameFeatures, b_pad: int) -> FrameFeatures:
+    """Pad the leading batch axis to b_pad by repeating row 0 (results for
+    padded rows are discarded by the caller)."""
+    b = batch.uv.shape[0]
+    if b == b_pad:
+        return batch
+    reps = b_pad - b
+    return FrameFeatures(*[
+        jnp.concatenate([x, jnp.repeat(x[:1], reps, axis=0)]) for x in batch
+    ])
+
+
+def build_batched_multipnp(
+    intr: CameraIntrinsics,
+    image_only: bool = False,
+    error_threshold: float = 1.0,
+    hypotheses: int = 256,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Returns batched(fa, fb, keys, min_inliers) -> MultiPnPResult with
+    a leading batch axis on every field.
+
+    fa/fb are FrameFeatures with leading batch axis B; keys is (B, 2)
+    uint32; min_inliers is a scalar (traced). With a mesh, B must be a
+    multiple of the dp axis size and the batch is sharded over it —
+    each device registers its shard's pairs, no collectives needed
+    (embarrassingly parallel fan-out).
+    """
+    build = (pipeline.build_multipnp_image if image_only
+             else pipeline.build_multipnp_planes)
+    single = build(intr, error_threshold=error_threshold, hypotheses=hypotheses)
+    batched = jax.vmap(single, in_axes=(0, 0, 0, None))
+
+    if mesh is None:
+        return jax.jit(batched)
+
+    dp = NamedSharding(mesh, P(mesh_mod.DP_AXIS))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        batched,
+        in_shardings=(
+            jax.tree.map(lambda _: dp, FrameFeatures(*FrameFeatures._fields)),
+            jax.tree.map(lambda _: dp, FrameFeatures(*FrameFeatures._fields)),
+            dp,
+            rep,
+        ),
+        out_shardings=jax.tree.map(
+            lambda _: dp, MultiPnPResult(*MultiPnPResult._fields)
+        ),
+    )
+    return fn
+
+
+class BatchedRegistrar:
+    """Host-side helper: collects (features_a, features_b) pairs, pads the
+    batch to the dp multiple, runs one sharded device program, returns
+    per-pair host results.
+
+    This is the component the frontend's loopClosure uses to verify all
+    candidates of one round in a single launch instead of the reference's
+    sequential 30-iteration loop (src/GraphicEnd.cpp:729-761).
+    """
+
+    def __init__(self, intr: CameraIntrinsics, image_only: bool,
+                 error_threshold: float = 1.0, hypotheses: int = 256,
+                 mesh: Optional[Mesh] = None):
+        self.mesh = mesh
+        self.dp = mesh.shape[mesh_mod.DP_AXIS] if mesh is not None else 1
+        self.fn = build_batched_multipnp(
+            intr, image_only=image_only, error_threshold=error_threshold,
+            hypotheses=hypotheses, mesh=mesh,
+        )
+
+    def __call__(self, pairs, key, min_inliers: int):
+        """pairs: list of (FrameFeatures, FrameFeatures). Returns a list of
+        (T 4x4 np, norm, inliers, ok) per pair."""
+        if not pairs:
+            return []
+        b = len(pairs)
+        b_pad = mesh_mod.pad_to_multiple(b, self.dp)
+        fa = pad_batch(stack_features([p[0] for p in pairs]), b_pad)
+        fb = pad_batch(stack_features([p[1] for p in pairs]), b_pad)
+        keys = jax.random.split(key, b_pad)
+        res = self.fn(fa, fb, keys, jnp.int32(min_inliers))
+        T = np.asarray(res.T, np.float64)
+        norm = np.asarray(res.norm, np.float64)
+        inl = np.asarray(res.inliers, np.int64)
+        ok = np.asarray(res.ok, bool)
+        return [(T[i], float(norm[i]), int(inl[i]), bool(ok[i]))
+                for i in range(b)]
