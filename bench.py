@@ -1,0 +1,128 @@
+"""Headline benchmark: plane-SLAM frontend throughput on one chip.
+
+Measures steady-state frames/sec of the full per-frame frontend
+(backproject -> z-filter -> voxel grid -> plane RANSAC -> keypoints ->
+descriptors -> multiPnP against the previous frame) on TUM-fr1-shaped
+640x480 RGB-D input — the reference's hot loop (SURVEY.md §3.1), which
+it could not run in real time ("computational cost is too high to meet
+real-time requirements", reference README:15).
+
+Baseline: the BASELINE.md north star of 30 FPS real-time frontend.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env overrides: BENCH_FRAMES (timed steps), BENCH_DETECTOR, BENCH_MAXKP,
+BENCH_HYPOTHESES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from slam3d_gx_tpu.config import CameraIntrinsics
+    from slam3d_gx_tpu.frontend import pipeline
+    from slam3d_gx_tpu.ops import pointcloud
+    from slam3d_gx_tpu.testing import synthetic
+
+    h, w = 480, 640
+    intr = CameraIntrinsics(fx=517.0, fy=517.0, cx=318.6, cy=255.3,
+                            factor=5000.0)
+
+    n_timed = int(os.environ.get("BENCH_FRAMES", "48"))
+    detector = os.environ.get("BENCH_DETECTOR", "GFTT")
+    max_kp = int(os.environ.get("BENCH_MAXKP", "512"))
+    hypotheses = int(os.environ.get("BENCH_HYPOTHESES", "256"))
+    cloud_cap = 1 << 16
+    baseline_fps = 30.0
+
+    log(f"bench: {detector}/SIFT max_kp={max_kp} hyp={hypotheses} "
+        f"{w}x{h} on {jax.devices()[0].platform}")
+
+    # --- data: a short synthetic orbit, rendered once on host ------------
+    scene = synthetic.RoomScene(seed=0)
+    n_src = 8
+    traj = synthetic.orbit_trajectory(n_src, radius=0.15, yaw_amp=0.08)
+    grays, depths = [], []
+    rng = np.random.default_rng(7)
+    for T in traj:
+        g, d = synthetic.render_frame(scene, T, intr, h, w)
+        g = np.clip(g.astype(np.float64) + rng.normal(0, 2.0, g.shape),
+                    0, 255).astype(np.uint8)
+        grays.append(jnp.asarray(g))
+        depths.append(jnp.asarray(d.astype(np.uint16)))
+
+    # --- jitted per-frame step -------------------------------------------
+    extract = pipeline.build_plane_extractor(
+        detector, "SIFT", intr, max_planes=3, max_kp=max_kp,
+        hypotheses=hypotheses)
+    multipnp = pipeline.build_multipnp_planes(intr, hypotheses=hypotheses)
+
+    @jax.jit
+    def frame_step(prev_feat, gray, depth, key):
+        xyz, valid = pointcloud.backproject(
+            depth, intr.fx, intr.fy, intr.cx, intr.cy, intr.factor)
+        xyz = xyz.reshape(-1, 3)
+        valid = pointcloud.passthrough_z(xyz, valid.reshape(-1), 0.0, 7.0)
+        vxyz, _, vmask = pointcloud.voxel_downsample(
+            xyz, jnp.zeros_like(xyz), valid, 0.03, capacity=cloud_cap)
+        k1, k2 = jax.random.split(key)
+        feat = extract(gray.astype(jnp.float32), depth.astype(jnp.float32),
+                       vxyz, vmask, k1)
+        res = multipnp(prev_feat, feat, k2, jnp.int32(12))
+        return feat, res.T, res.norm, res.inliers
+
+    # --- warmup (compile + first iterations) ------------------------------
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, n_timed + 4)
+    from slam3d_gx_tpu.frontend.state import empty_frame
+
+    t0 = time.time()
+    feat = frame_step(empty_frame(3, max_kp, 128),
+                      grays[0], depths[0], keys[1])[0]
+    jax.block_until_ready(feat)
+    log(f"compile+first step: {time.time() - t0:.1f}s")
+    for i in range(3):
+        feat, *_ = frame_step(feat, grays[(i + 1) % n_src],
+                              depths[(i + 1) % n_src], keys[2 + i])
+    jax.block_until_ready(feat)
+
+    # --- timed steady-state loop ------------------------------------------
+    t0 = time.time()
+    out = []
+    for i in range(n_timed):
+        j = i % n_src
+        feat, T, norm, inl = frame_step(feat, grays[j], depths[j], keys[4 + i])
+        out.append((T, norm, inl))
+    jax.block_until_ready(feat)
+    jax.block_until_ready(out[-1][0])
+    dt = time.time() - t0
+    fps = n_timed / dt
+
+    inliers = [int(o[2]) for o in out[:8]]
+    log(f"{n_timed} frames in {dt:.2f}s -> {fps:.2f} FPS; "
+        f"sample inlier counts {inliers}")
+
+    print(json.dumps({
+        "metric": "frontend_fps_640x480",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
