@@ -99,24 +99,38 @@ def sobel_gradients(img):
 
 
 def _conv2(img, kernel):
-    """Valid-mode 2D correlation via conv_general_dilated."""
-    x = img[None, None, :, :]
-    k = kernel[None, None, :, :]
-    out = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0, 0]
+    """Valid-mode 2D correlation of a small static kernel.
+
+    TPU note: a 1-channel lax.conv wastes the MXU (it wants >=8
+    channels) and lowers to a slow path; a small stencil is instead
+    unrolled into shifted multiply-adds over static slices — pure VPU
+    elementwise work that XLA fuses into one bandwidth-bound pass.
+    """
+    kh, kw = kernel.shape
+    H = img.shape[0] - kh + 1
+    W = img.shape[1] - kw + 1
+    out = jnp.zeros((H, W), img.dtype)
+    for dy in range(kh):
+        for dx in range(kw):
+            out = out + kernel[dy, dx] * jax.lax.slice(
+                img, (dy, dx), (dy + H, dx + W)
+            )
+    return out
 
 
 def box_filter(img, radius: int):
-    """Mean filter over (2r+1)^2, edge-padded."""
+    """Mean filter over (2r+1)^2, edge-padded (separable shift-add)."""
     w = 2 * radius + 1
-    pad = jnp.pad(img, radius, mode="edge")
-    s = jax.lax.reduce_window(
-        pad, 0.0, jax.lax.add, (w, w), (1, 1), "VALID"
-    )
+    pad = jnp.pad(img, ((radius, radius), (0, 0)), mode="edge")
+    H = img.shape[0]
+    s = jnp.zeros_like(img)
+    for dy in range(w):
+        s = s + jax.lax.slice(pad, (dy, 0), (dy + H, img.shape[1]))
+    pad = jnp.pad(s, ((0, 0), (radius, radius)), mode="edge")
+    W = img.shape[1]
+    s = jnp.zeros_like(img)
+    for dx in range(w):
+        s = s + jax.lax.slice(pad, (0, dx), (img.shape[0], dx + W))
     return s / (w * w)
 
 

@@ -51,20 +51,31 @@ def _kabsch(P, X):
 
     P, X: (...,3,3) rows are points. Returns R (...,3,3), t (...,3) with
     X ~= P @ R^T + t.
+
+    TPU note: batched tiny SVDs (jnp.linalg.svd on (...,3,3)) lower to a
+    slow sequential path. P3P triplets are *exact* correspondences by
+    construction (the minimal solver places the 3 world points in the
+    camera frame), so least-squares is unnecessary: align the triangles'
+    orthonormal frames directly — closed-form cross products, fully
+    batched. Degenerate (near-collinear) triplets produce garbage poses
+    that the RANSAC inlier scoring discards.
     """
-    cP = P.mean(axis=-2, keepdims=True)
-    cX = X.mean(axis=-2, keepdims=True)
-    H = jnp.matmul(
-        jnp.swapaxes(P - cP, -1, -2), X - cX, precision=_HI
-    )
-    U, _, Vt = jnp.linalg.svd(H)
-    det = jnp.linalg.det(jnp.matmul(jnp.swapaxes(Vt, -1, -2), jnp.swapaxes(U, -1, -2), precision=_HI))
-    D = jnp.zeros_like(H).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0).at[..., 2, 2].set(det)
-    R = jnp.matmul(
-        jnp.swapaxes(Vt, -1, -2), jnp.matmul(D, jnp.swapaxes(U, -1, -2), precision=_HI),
-        precision=_HI,
-    )
-    t = cX[..., 0, :] - jnp.matmul(R, cP[..., 0, :, None], precision=_HI)[..., 0]
+
+    def frame(A):
+        e1 = A[..., 1, :] - A[..., 0, :]
+        e1 = e1 / (jnp.linalg.norm(e1, axis=-1, keepdims=True) + 1e-12)
+        v2 = A[..., 2, :] - A[..., 0, :]
+        v2 = v2 - jnp.sum(v2 * e1, axis=-1, keepdims=True) * e1
+        e2 = v2 / (jnp.linalg.norm(v2, axis=-1, keepdims=True) + 1e-12)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=-1)  # columns are the frame
+
+    Ep = frame(P)
+    Ex = frame(X)
+    R = jnp.matmul(Ex, jnp.swapaxes(Ep, -1, -2), precision=_HI)
+    cP = P.mean(axis=-2)
+    cX = X.mean(axis=-2)
+    t = cX - jnp.matmul(R, cP[..., None], precision=_HI)[..., 0]
     return R, t
 
 
@@ -209,11 +220,6 @@ def refine_pnp(rvec, tvec, obj, img, weights, fx, fy, cx, cy, iters: int = 10):
 
     weights: (N,) float (0 masks a correspondence out).
     """
-    def energy(rv, tv):
-        e = reprojection_errors(rv, tv, obj, img, fx, fy, cx, cy)
-        e = jnp.where(jnp.isfinite(e), e, 1e3)
-        return jnp.sum(weights * e * e)
-
     def residuals(x):
         rv, tv = x[:3], x[3:]
         R = lie.rodrigues(rv)
@@ -224,7 +230,7 @@ def refine_pnp(rvec, tvec, obj, img, weights, fx, fy, cx, cy, iters: int = 10):
     jac_fn = jax.jacfwd(residuals)
 
     def step(carry, _):
-        x, lam = carry
+        x, lam, e = carry
         r = residuals(x)
         J = jac_fn(x)
         H = jnp.matmul(J.T, J, precision=_HI)
@@ -232,13 +238,20 @@ def refine_pnp(rvec, tvec, obj, img, weights, fx, fy, cx, cy, iters: int = 10):
         H = H + lam * jnp.diag(jnp.diag(H) + 1e-9)
         dx = jnp.linalg.solve(H, -g)
         x_new = x + dx
-        better = energy(x_new[:3], x_new[3:]) < energy(x[:3], x[3:])
+        e_new = jnp.sum(residuals(x_new) ** 2)
+        better = e_new < e
         x = jnp.where(better, x_new, x)
+        e = jnp.where(better, e_new, e)
         lam = jnp.where(better, lam * 0.5, lam * 4.0)
-        return (x, lam), None
+        return (x, lam, e), None
 
     x0 = jnp.concatenate([rvec, tvec])
-    (x, _), _ = jax.lax.scan(step, (x0, jnp.float32(1e-3)), None, length=iters)
+    e0 = jnp.sum(residuals(x0) ** 2)
+    # unrolled: per-step ops are tiny (6x6 solve + one (2N,6) jacobian);
+    # scan would pay per-step launch latency
+    (x, _, _), _ = jax.lax.scan(
+        step, (x0, jnp.float32(1e-3), e0), None, length=iters, unroll=iters
+    )
     return x[:3], x[3:]
 
 

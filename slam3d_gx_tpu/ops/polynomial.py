@@ -56,7 +56,10 @@ def quartic_roots(coeffs, iters: int = 40):
         z = z - pz / denom
         return z, None
 
-    z, _ = jax.lax.scan(step, z, None, length=iters)
+    # fully unrolled: each iteration is a handful of tiny (B,4) complex
+    # ops — a lax.scan would pay per-step kernel-launch latency, unrolling
+    # lets XLA fuse the whole sweep
+    z, _ = jax.lax.scan(step, z, None, length=iters, unroll=iters)
     return z * s[..., None]
 
 
