@@ -1,8 +1,9 @@
 """Headline benchmark: plane-SLAM frontend throughput on one chip.
 
 Measures steady-state frames/sec of the full per-frame frontend
-(backproject -> z-filter -> voxel grid -> plane RANSAC -> keypoints ->
-descriptors -> multiPnP against the previous frame) on TUM-fr1-shaped
+(backproject -> z-filter -> decimate -> plane RANSAC -> plane coverage
+images -> keypoints -> descriptors -> multiPnP against the previous
+frame) on TUM-fr1-shaped
 640x480 RGB-D input — the reference's hot loop (SURVEY.md §3.1), which
 it could not run in real time ("computational cost is too high to meet
 real-time requirements", reference README:15).
@@ -45,7 +46,6 @@ def main() -> int:
     detector = os.environ.get("BENCH_DETECTOR", "GFTT")
     max_kp = int(os.environ.get("BENCH_MAXKP", "512"))
     hypotheses = int(os.environ.get("BENCH_HYPOTHESES", "256"))
-    cloud_cap = 1 << 16
     baseline_fps = 30.0
 
     log(f"bench: {detector}/SIFT max_kp={max_kp} hyp={hypotheses} "
@@ -76,11 +76,9 @@ def main() -> int:
             depth, intr.fx, intr.fy, intr.cx, intr.cy, intr.factor)
         xyz = xyz.reshape(-1, 3)
         valid = pointcloud.passthrough_z(xyz, valid.reshape(-1), 0.0, 7.0)
-        vxyz, _, vmask = pointcloud.voxel_downsample(
-            xyz, jnp.zeros_like(xyz), valid, 0.03, capacity=cloud_cap)
         k1, k2 = jax.random.split(key)
         feat = extract(gray.astype(jnp.float32), depth.astype(jnp.float32),
-                       vxyz, vmask, k1)
+                       xyz, valid, k1)
         res = multipnp(prev_feat, feat, k2, jnp.int32(12))
         return feat, res.T, res.norm, res.inliers
 
@@ -97,7 +95,7 @@ def main() -> int:
     for i in range(3):
         feat, *_ = frame_step(feat, grays[(i + 1) % n_src],
                               depths[(i + 1) % n_src], keys[2 + i])
-    jax.block_until_ready(feat)
+    np.asarray(feat.coeffs)  # real sync (see note below)
 
     # --- timed steady-state loop ------------------------------------------
     t0 = time.time()
@@ -106,8 +104,10 @@ def main() -> int:
         j = i % n_src
         feat, T, norm, inl = frame_step(feat, grays[j], depths[j], keys[4 + i])
         out.append((T, norm, inl))
-    jax.block_until_ready(feat)
-    jax.block_until_ready(out[-1][0])
+    # NB: force a real host transfer — through remote-relay device
+    # plugins block_until_ready can return before execution finishes;
+    # np.asarray of a value data-dependent on every frame cannot
+    np.asarray(out[-1][0])
     dt = time.time() - t0
     fps = n_timed / dt
 

@@ -145,21 +145,16 @@ class GraphicEnd:
         xyz_p[:n] = xyz
         mask = np.zeros(cap, bool)
         mask[:n] = True
-        # z passthrough then voxel grid (reference src/GraphicEnd.cpp:283-295)
+        # z passthrough (reference src/GraphicEnd.cpp:283-293); the
+        # downsample-before-RANSAC role of the reference's VoxelGrid
+        # (287-295) is played by the extractor's strided decimation —
+        # an exact voxel grid needs a 300k-point sort, pathological on TPU
         xyz_j = jnp.asarray(xyz_p)
         mask_j = pointcloud.passthrough_z(xyz_j, jnp.asarray(mask), 0.0, self.z_filter)
-        vx, _, vm = pointcloud.voxel_downsample(
-            xyz_j, jnp.zeros_like(xyz_j), mask_j, self.grid_leaf,
-            capacity=min(cap, CLOUD_CAP),
-        )
-        if vx.shape[0] < CLOUD_CAP:
-            pad = CLOUD_CAP - vx.shape[0]
-            vx = jnp.concatenate([vx, jnp.zeros((pad, 3), vx.dtype)])
-            vm = jnp.concatenate([vm, jnp.zeros((pad,), bool)])
         self.curr_gray = jnp.asarray(gray)
         self.curr_depth = jnp.asarray(depth)
-        self.curr_cloud = vx
-        self.curr_cloud_mask = vm
+        self.curr_cloud = xyz_j
+        self.curr_cloud_mask = mask_j
 
     def _extract_present(self) -> FrameFeatures:
         return self.extract(

@@ -86,41 +86,60 @@ def build_plane_extractor(
     dist_thresh: float = 0.08,
     percent: float = 0.2,
     hypotheses: int = 256,
+    plane_points: int = 8192,
+    z_max: float = 7.0,
 ) -> Callable:
     """Returns jitted extract(gray, depth, cloud_xyz, cloud_mask, key)
-    -> FrameFeatures with P=max_planes."""
+    -> FrameFeatures with P=max_planes.
+
+    TPU notes: the RANSAC plane fit sees a strided decimation of the
+    cloud (`plane_points` budget) — the reference's VoxelGrid served the
+    same purpose (cheap uniform subsample before segmentation,
+    src/GraphicEnd.cpp:287-295) but an exact voxel grid needs a 300k-point
+    sort, pathological on TPU. Plane coverage images are computed
+    analytically at full resolution (plane_membership_images), replacing
+    the reference's point splatting.
+    """
     detect = registry.create_detector(detector_name, max_kp)
     describe = registry.create_descriptor(descriptor_name)
 
     @jax.jit
     def extract(gray, depth, cloud_xyz, cloud_mask, key):
-        coeffs, masks, valids, _ = plane_ransac.extract_planes(
-            cloud_xyz, cloud_mask, key,
+        n = cloud_xyz.shape[0]
+        stride = max(1, n // plane_points)
+        dxyz = cloud_xyz[::stride][:plane_points]
+        dmask = cloud_mask[::stride][:plane_points]
+        coeffs, _, valids, _ = plane_ransac.extract_planes(
+            dxyz, dmask, key,
             max_planes=max_planes, dist_thresh=dist_thresh,
             percent=percent, hypotheses=hypotheses,
         )
-        uv_all, kp3d_all, desc_all, kpv_all = [], [], [], []
-        for p in range(max_planes):
-            img_p, mask_p = imageproc.splat_plane_image(
-                cloud_xyz, masks[p], gray, intr.fx, intr.fy, intr.cx, intr.cy,
-                height=gray.shape[0], width=gray.shape[1],
-            )
+
+        xyz_img, valid_img = pointcloud.backproject(
+            depth, intr.fx, intr.fy, intr.cx, intr.cy, intr.factor)
+        z = xyz_img[..., 2]
+        valid_img = valid_img & (z > 0) & (z <= z_max)
+        images, masks = imageproc.plane_membership_images(
+            xyz_img, valid_img, coeffs, valids, gray, dist_thresh)
+
+        # all per-plane work is vmapped over the P axis: one kernel chain
+        # instead of max_planes sequential copies (TPU launch count matters)
+        def per_plane(img_p, mask_img, coeff_p, valid_p):
             img_p = imageproc.equalize_hist(img_p)
-            kps = detect(img_p, mask_p)
-            kps = kps._replace(valid=kps.valid & valids[p])
+            kps = detect(img_p, mask_img)
+            kps = kps._replace(valid=kps.valid & valid_p)
             desc = describe(gray, kps)
-            kp3d, v3 = compute_kp3d_plane(depth, kps.uv, coeffs[p], intr)
-            uv_all.append(kps.uv)
-            kp3d_all.append(kp3d)
-            desc_all.append(desc)
-            kpv_all.append(kps.valid & v3)
+            kp3d, v3 = compute_kp3d_plane(depth, kps.uv, coeff_p, intr)
+            return kps.uv, kp3d, desc, kps.valid & v3
+
+        uv, kp3d, desc, kpv = jax.vmap(per_plane)(images, masks, coeffs, valids)
         return FrameFeatures(
             coeffs=coeffs,
             plane_valid=valids,
-            uv=jnp.stack(uv_all),
-            kp3d=jnp.stack(kp3d_all),
-            desc=jnp.stack(desc_all),
-            kp_valid=jnp.stack(kpv_all),
+            uv=uv,
+            kp3d=kp3d,
+            desc=desc,
+            kp_valid=kpv,
         )
 
     return extract
@@ -191,30 +210,27 @@ def build_multipnp_planes(
             fa.coeffs, fa.plane_valid, fb.coeffs, fb.plane_valid
         )
 
-        obj_list, img_list, w_list = [], [], []
-        for p in range(P):
-            q = pidx[p]
-            uv_b = fb.uv[q]
-            desc_b = fb.desc[q]
-            kpv_b = fb.kp_valid[q]
-            midx, mdist, mok = match.match_nn(
-                fa.desc[p], fa.kp_valid[p], desc_b, kpv_b
-            )
-            good = match.good_match_filter(mdist, mok) & pvalid[p]
-            obj = fa.kp3d[p]
+        # per-plane-pair matching + pnp, vmapped over the P axis (one
+        # batched kernel chain instead of P sequential RANSAC solves)
+        def per_plane(desc_a, kpv_a, obj, uv_b, desc_b, kpv_b, pv, k):
+            midx, mdist, mok = match.match_nn(desc_a, kpv_a, desc_b, kpv_b)
+            good = match.good_match_filter(mdist, mok) & pv
             img = uv_b[midx]
             res_p = pnp.solve_pnp_ransac(
                 obj, img, good, intr.fx, intr.fy, intr.cx, intr.cy,
-                keys[p], reproj_thresh=8.0, hypotheses=hypotheses,
+                k, reproj_thresh=8.0, hypotheses=hypotheses,
             )
-            # per-pair inliers pool into the global correspondence set
-            w_list.append(res_p.inliers & res_p.ok)
-            obj_list.append(obj)
-            img_list.append(img)
+            return img, res_p.inliers & res_p.ok
 
-        obj = jnp.concatenate(obj_list)
-        img = jnp.concatenate(img_list)
-        pooled = jnp.concatenate(w_list)
+        img_p, w_p = jax.vmap(per_plane)(
+            fa.desc, fa.kp_valid, fa.kp3d,
+            fb.uv[pidx], fb.desc[pidx], fb.kp_valid[pidx],
+            pvalid, keys[:P],
+        )
+
+        obj = fa.kp3d.reshape(P * K, 3)
+        img = img_p.reshape(P * K, 2)
+        pooled = w_p.reshape(P * K)
 
         # global RANSAC at 8px (src/GraphicEnd.cpp:595)
         res1 = pnp.solve_pnp_ransac(

@@ -85,6 +85,38 @@ def splat_plane_image(
 
 
 @jax.jit
+def plane_membership_images(xyz_img, valid_img, coeffs, plane_valid,
+                            gray, dist_thresh):
+    """Per-plane coverage masks computed analytically in image space.
+
+    TPU-native replacement for the reference's point-splatting
+    (src/GraphicEnd.cpp:390-430, which scatters voxelized plane inliers
+    back into a 640x480 image with depth-adaptive blocks): a pixel
+    belongs to plane p iff its backprojected 3D point lies within
+    `dist_thresh` of the plane — dense elementwise math, no scatter —
+    with earlier planes claiming pixels first (the reference removes
+    inliers between iterations, ExtractIndices semantics).
+
+    Args:
+      xyz_img: (H,W,3) backprojected points; valid_img: (H,W) bool;
+      coeffs: (P,4); plane_valid: (P,); gray: (H,W).
+    Returns:
+      images (P,H,W) uint8 (gray under mask), masks (P,H,W) bool.
+    """
+    dists = jnp.abs(
+        jnp.tensordot(xyz_img, coeffs[:, :3], axes=((2,), (1,)))
+        + coeffs[None, None, :, 3]
+    )  # (H,W,P)
+    member = (dists < dist_thresh) & valid_img[..., None] & plane_valid[None, None, :]
+    # exclusive claim by plane order
+    prior = jnp.cumsum(member.astype(jnp.int32), axis=-1) - member
+    member = member & (prior == 0)
+    masks = jnp.moveaxis(member, -1, 0)  # (P,H,W)
+    images = jnp.where(masks, gray.astype(jnp.uint8)[None], 0)
+    return images, masks
+
+
+@jax.jit
 def equalize_hist(image):
     """cv::equalizeHist clone: 256-bin histogram -> CDF LUT.
 
@@ -93,7 +125,13 @@ def equalize_hist(image):
     constant image is returned unchanged.
     """
     img = image.astype(jnp.int32)
-    hist = jnp.zeros(256, jnp.int32).at[img.reshape(-1)].add(1)
+    # histogram as a fused compare-reduce over (256, N) — TPU scatter-add
+    # (.at[].add) serializes badly, a broadcast equality + reduction is
+    # pure vector work
+    bins = jnp.arange(256, dtype=jnp.int32)
+    hist = jnp.sum(
+        (img.reshape(-1)[None, :] == bins[:, None]).astype(jnp.int32), axis=1
+    )
     total = img.size
     nonzero = hist > 0
     i0 = jnp.argmax(nonzero)
