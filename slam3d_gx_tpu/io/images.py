@@ -15,8 +15,22 @@ import numpy as np
 from PIL import Image
 
 
+def _native():
+    """The C++ decoder (native/png_codec.cc) when built; None otherwise."""
+    from .. import native_io
+    return native_io if native_io.available() else None
+
+
 def load_gray(path: str) -> np.ndarray:
     """8-bit grayscale (H,W) uint8, BT.601 rounding like cv::imread(.,0)."""
+    nat = _native()
+    if nat is not None:
+        try:
+            out = nat.png_decode(path, to_gray=True)
+            if out.dtype == np.uint8 and out.ndim == 2:
+                return out
+        except ValueError:
+            pass  # fall through to PIL for exotic encodings
     img = Image.open(path)
     if img.mode in ("L", "I;16", "I"):
         arr = np.asarray(img)
@@ -30,6 +44,14 @@ def load_gray(path: str) -> np.ndarray:
 
 def load_depth(path: str) -> np.ndarray:
     """16-bit depth (H,W) uint16, raw values (cv::imread(.,-1))."""
+    nat = _native()
+    if nat is not None:
+        try:
+            out = nat.png_decode(path, to_gray=False)
+            if out.ndim == 2:
+                return out.astype(np.uint16, copy=False)
+        except ValueError:
+            pass
     img = Image.open(path)
     arr = np.asarray(img)
     if arr.dtype == np.uint8:
