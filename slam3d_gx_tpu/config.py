@@ -98,6 +98,10 @@ DEFAULTS: Dict[str, str] = {
     "seed": "0",
     "max_keypoints": "512",
     "ransac_hypotheses": "256",
+    # 1 = verify all loop-closure/recovery candidates in one batched
+    # device launch (parallel/registration.py); 0 = reference-style
+    # sequential per-candidate checks
+    "loop_closure_batched": "1",
 }
 
 # Intrinsics preset blocks the reference ships commented out

@@ -119,6 +119,21 @@ class GraphicEnd:
             self.intr, error_threshold=self.error_threshold,
             hypotheses=self.hypotheses,
         )
+        self.batch_registrar = self._make_batch_registrar(image_only=False)
+
+    def _make_batch_registrar(self, image_only: bool):
+        """Batched loop-closure/recovery verifier (parallel fan-out); the
+        `loop_closure_batched` knob (default on) restores the reference's
+        sequential per-candidate checks when 0."""
+        if self.params.get_int("loop_closure_batched") == 0:
+            return None
+        from ..parallel.registration import BatchedRegistrar
+
+        return BatchedRegistrar(
+            self.intr, image_only=image_only,
+            error_threshold=self.error_threshold,
+            hypotheses=self.hypotheses,
+        )
 
     def next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -286,20 +301,43 @@ class GraphicEnd:
     def loop_closure(self):
         if len(self.keyframes) <= 3:
             return
-        # deterministic: keyframes -3 and -4 (src/GraphicEnd.cpp:694-725)
-        for i in (-3, -4):
-            n = len(self.keyframes) + i
-            if n >= 0:
-                self._try_loop_edge(self.keyframes[n], record=False)
-            else:
-                break
-        # random draws (src/GraphicEnd.cpp:729-761)
+        # candidate set: deterministic keyframes -3/-4 (src/GraphicEnd.cpp:
+        # 694-725) + `loopclosure_frames` dedup'd random draws (729-761)
+        nearby = [len(self.keyframes) + i
+                  for i in (-3, -4) if len(self.keyframes) + i >= 0]
         checked: List[int] = []
         for _ in range(self.loopclosure_frames):
             frame = self._rng.randrange(len(self.keyframes) - 3)
-            if frame in checked:
-                continue
-            checked.append(frame)
+            if frame not in checked:
+                checked.append(frame)
+
+        if self.batch_registrar is not None:
+            # every candidate is judged independently in the reference, so
+            # the whole round runs as ONE batched device launch
+            # (parallel/registration.py; SURVEY.md §2.4 item 2)
+            cand = nearby + checked
+            pairs = [(self.keyframes[i].features, self.curr_kf.features)
+                     for i in cand]
+            results = self.batch_registrar(
+                pairs, self.next_key(), self.loop_closure_inliers,
+                pad_to=self.loopclosure_frames + 2,
+            )
+            for i, (T, norm, inl, ok) in zip(cand, results):
+                if (not ok) or norm > self.loop_closure_error \
+                        or inl < self.loop_closure_inliers:
+                    continue
+                record = i in checked
+                if record:
+                    self.display_lc(self.keyframes[i].frame_index,
+                                    self.curr_kf.frame_index, norm, inl)
+                    self.keyframes[-1].connect.append(i)
+                self.opt.add_edge(self.keyframes[i].id, self.curr_kf.id,
+                                  se3.inverse(T), INFO_VISUAL, robust=True)
+            return
+
+        for n in nearby:
+            self._try_loop_edge(self.keyframes[n], record=False)
+        for frame in checked:
             if self._try_loop_edge(self.keyframes[frame], record=True):
                 self.keyframes[-1].connect.append(frame)
 
@@ -319,6 +357,27 @@ class GraphicEnd:
             self.lost = 0
             return
         # brute-force re-localization against the whole history
+        # (src/GraphicEnd.cpp:810-836) — with the batched registrar the
+        # O(K) scan is one padded device launch (padded to a power-of-two
+        # bucket so it recompiles only when the history doubles)
+        if self.batch_registrar is not None:
+            cand = list(range(len(self.keyframes) - 1))
+            pairs = [(self.keyframes[i].features, self.curr_kf.features)
+                     for i in cand]
+            bucket = 8
+            while bucket < len(pairs):
+                bucket *= 2
+            results = self.batch_registrar(
+                pairs, self.next_key(), 12, pad_to=bucket)
+            for i, (T, norm, inl, ok) in zip(cand, results):
+                if not ok or inl < self.loop_closure_inliers \
+                        or norm > self.loop_closure_error:
+                    continue
+                self.opt.add_edge(self.keyframes[i].id, new_id,
+                                  se3.inverse(T), INFO_VISUAL, robust=True)
+                self.keyframes[-1].connect.append(i)
+            self.lost = 0
+            return
         for i in range(len(self.keyframes) - 1):
             res = self.multipnp(
                 self.keyframes[i].features, self.curr_kf.features,
@@ -421,6 +480,7 @@ class GraphicEnd2(GraphicEnd):
             self.intr, error_threshold=self.error_threshold,
             hypotheses=self.hypotheses,
         )
+        self.batch_registrar = self._make_batch_registrar(image_only=True)
 
     def readimage(self):
         gray = images.load_gray(os.path.join(self.rgb_path, f"{self.index}.png"))

@@ -112,13 +112,16 @@ class BatchedRegistrar:
             hypotheses=hypotheses, mesh=mesh,
         )
 
-    def __call__(self, pairs, key, min_inliers: int):
+    def __call__(self, pairs, key, min_inliers: int, pad_to: int = 0):
         """pairs: list of (FrameFeatures, FrameFeatures). Returns a list of
-        (T 4x4 np, norm, inliers, ok) per pair."""
+        (T 4x4 np, norm, inliers, ok) per pair.
+
+        pad_to: minimum padded batch (use a fixed value per call site to
+        avoid one recompile per distinct batch size)."""
         if not pairs:
             return []
         b = len(pairs)
-        b_pad = mesh_mod.pad_to_multiple(b, self.dp)
+        b_pad = mesh_mod.pad_to_multiple(max(b, pad_to), self.dp)
         fa = pad_batch(stack_features([p[0] for p in pairs]), b_pad)
         fb = pad_batch(stack_features([p[1] for p in pairs]), b_pad)
         keys = jax.random.split(key, b_pad)
