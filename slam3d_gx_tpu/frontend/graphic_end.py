@@ -139,6 +139,61 @@ class GraphicEnd:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    # -- prefetch ------------------------------------------------------------
+    def _setup_prefetch(self, want_pcd: bool):
+        """Start the native threaded loaders for all frames after the
+        current index, so host decode overlaps device compute (the
+        reference's frame loop decodes synchronously each frame,
+        src/GraphicEnd.cpp:266-302). No-op (pure-Python fallback stays in
+        readimage) when the C++ runtime isn't available."""
+        self._prefetch = None
+        try:
+            from .. import native_io
+        except ImportError:
+            return
+        if not native_io.available():
+            return
+        last = self.index
+        while os.path.exists(os.path.join(self.rgb_path, f"{last + 1}.png")):
+            last += 1
+        if last <= self.index:
+            return
+        h, w = np.asarray(self.curr_gray).shape
+        idx = range(self.index + 1, last + 1)
+        loaders = {
+            "gray": native_io.PrefetchLoader(
+                [os.path.join(self.rgb_path, f"{i}.png") for i in idx],
+                native_io.MODE_GRAY8, height=h, width=w),
+            "depth": native_io.PrefetchLoader(
+                [os.path.join(self.dep_path, f"{i}.png") for i in idx],
+                native_io.MODE_DEPTH16, height=h, width=w),
+        }
+        if want_pcd:
+            loaders["pcd"] = native_io.PrefetchLoader(
+                [os.path.join(self.pcl_path, f"{i}.pcd") for i in idx],
+                native_io.MODE_PCD)
+        self._prefetch = loaders
+        self._prefetch_next = self.index + 1
+
+    def _prefetch_pop(self):
+        """Next (gray, depth, xyz-or-None) if the prefetcher is aligned
+        with this frame index; None -> caller uses the synchronous path."""
+        if getattr(self, "_prefetch", None) is None \
+                or self._prefetch_next != self.index:
+            return None
+        try:
+            gray = self._prefetch["gray"].next()
+            depth = self._prefetch["depth"].next()
+            cloud = (self._prefetch["pcd"].next()
+                     if "pcd" in self._prefetch else None)
+        except StopIteration:
+            self._prefetch = None
+            return None
+        self._prefetch_next += 1
+        if gray is None or depth is None:
+            return None
+        return gray, depth, cloud
+
     # -- io ------------------------------------------------------------------
     def _log(self, name: str, text: str, append: bool = True):
         os.makedirs(self.data_dir, exist_ok=True)
@@ -147,9 +202,19 @@ class GraphicEnd:
             f.write(text)
 
     def readimage(self):
-        gray = images.load_gray(os.path.join(self.rgb_path, f"{self.index}.png"))
-        depth = images.load_depth(os.path.join(self.dep_path, f"{self.index}.png"))
-        xyz, rgba = pcd.read_pcd(os.path.join(self.pcl_path, f"{self.index}.pcd"))
+        pre = self._prefetch_pop()
+        if pre is not None and pre[2] is not None:
+            gray, depth, (xyz, _) = pre
+        else:
+            if pre is not None:  # images prefetched but pcd failed
+                gray, depth, _ = pre
+            else:
+                gray = images.load_gray(
+                    os.path.join(self.rgb_path, f"{self.index}.png"))
+                depth = images.load_depth(
+                    os.path.join(self.dep_path, f"{self.index}.png"))
+            xyz, _ = pcd.read_pcd(
+                os.path.join(self.pcl_path, f"{self.index}.pcd"))
         # pad the raw cloud to a power-of-two bucket: per-frame point counts
         # vary and would otherwise recompile the filter kernels every frame
         n = xyz.shape[0]
@@ -190,6 +255,7 @@ class GraphicEnd:
         self._log("error_of_transform.log", "", append=False)
 
         self.readimage()
+        self._setup_prefetch(want_pcd=not self.image_only)
         feats = self._extract_present()
         self.curr_kf = Keyframe(id=0, frame_index=self.index, features=feats)
         self.keyframes.append(self.curr_kf)
@@ -483,8 +549,14 @@ class GraphicEnd2(GraphicEnd):
         self.batch_registrar = self._make_batch_registrar(image_only=True)
 
     def readimage(self):
-        gray = images.load_gray(os.path.join(self.rgb_path, f"{self.index}.png"))
-        depth = images.load_depth(os.path.join(self.dep_path, f"{self.index}.png"))
+        pre = self._prefetch_pop()
+        if pre is not None:
+            gray, depth, _ = pre
+        else:
+            gray = images.load_gray(
+                os.path.join(self.rgb_path, f"{self.index}.png"))
+            depth = images.load_depth(
+                os.path.join(self.dep_path, f"{self.index}.png"))
         self.curr_gray = jnp.asarray(gray)
         self.curr_depth = jnp.asarray(depth)
 
