@@ -125,13 +125,12 @@ def equalize_hist(image):
     constant image is returned unchanged.
     """
     img = image.astype(jnp.int32)
-    # histogram as a fused compare-reduce over (256, N) — TPU scatter-add
-    # (.at[].add) serializes badly, a broadcast equality + reduction is
-    # pure vector work
-    bins = jnp.arange(256, dtype=jnp.int32)
-    hist = jnp.sum(
-        (img.reshape(-1)[None, :] == bins[:, None]).astype(jnp.int32), axis=1
-    )
+    # TPU: Pallas tile-streaming histogram (ops/pallas_kernels.py);
+    # elsewhere a fused compare-reduce. Scatter-add (.at[].add) would
+    # serialize on TPU.
+    from . import pallas_kernels
+
+    hist = pallas_kernels.histogram256(img).astype(jnp.int32)
     total = img.size
     nonzero = hist > 0
     i0 = jnp.argmax(nonzero)
@@ -139,10 +138,12 @@ def equalize_hist(image):
     scale = 255.0 / jnp.maximum(total - h0, 1)
     csum = jnp.cumsum(hist)
     rel = (csum - csum[i0]).astype(jnp.float32)
-    lut = jnp.clip(jnp.round(rel * scale), 0, 255).astype(jnp.uint8)
+    lut = jnp.clip(jnp.round(rel * scale), 0, 255)
     idx = jnp.arange(256)
-    lut = jnp.where(idx <= i0, 0, lut).astype(jnp.uint8)
-    out = lut[img]
+    lut = jnp.where(idx <= i0, 0.0, lut)
+    # lut[img] is a 300k-element gather (element-at-a-time on TPU);
+    # apply_lut256 evaluates it as lane-aligned compare+FMA sweeps
+    out = pallas_kernels.apply_lut256(img, lut).astype(jnp.uint8)
     # constant image: equalization is the identity
     constant = h0 == total
     return jnp.where(constant, image.astype(jnp.uint8), out)
