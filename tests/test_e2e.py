@@ -161,3 +161,49 @@ def test_view_lc_cli(imageonly_run, tmp_path):
     rc = view_lc.view(lc, params=make_params(root), out_dir=out)
     assert rc == 0
     assert len(os.listdir(out)) > 0
+
+def test_eval_protocol_with_tum_tools(imageonly_run, tmp_path_factory):
+    """BASELINE.md protocol: SLAM -> trajectory.txt -> TUM evaluation
+    tools (tools/evaluate_rpe.py, evaluate_ate.py) against ground truth."""
+    import subprocess
+    import sys
+
+    from slam3d_gx_tpu.cli import generate_trajectory
+    from slam3d_gx_tpu.geometry import se3
+
+    ge, slam, datadir, traj, root = imageonly_run
+    out = str(tmp_path_factory.mktemp("eval"))
+    est_path = os.path.join(out, "trajectory.txt")
+    rc = generate_trajectory.generate(
+        os.path.join(datadir, "keyframe.txt"),
+        os.path.join(datadir, "final_after.g2o"),
+        params=make_params(root), out_path=est_path,
+    )
+    assert rc == 0
+
+    # ground truth in TUM format from the synthetic trajectory
+    asso = tum.read_associate(os.path.join(root, "associate.txt"))
+    gt_path = os.path.join(out, "groundtruth.txt")
+    with open(gt_path, "w") as f:
+        for row, T in zip(asso, traj):
+            d = se3.get_estimate_data(T)
+            f.write(f"{row.rgb_ts} " + " ".join(f"{v:.9g}" for v in d) + "\n")
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    r = subprocess.run(
+        [sys.executable, os.path.join(tools, "evaluate_ate.py"),
+         gt_path, est_path, "--verbose"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ate = float([l for l in r.stdout.splitlines() if ".rmse" in l][0].split()[1])
+    assert ate < 0.05, f"ATE vs TUM tool: {ate}"
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(tools, "evaluate_rpe.py"),
+         gt_path, est_path, "--fixed_delta", "--delta", "0.1", "--verbose"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    rpe = float([l for l in r.stdout.splitlines()
+                 if "translational_error.rmse" in l][0].split()[1])
+    assert rpe < 0.05, f"RPE vs TUM tool: {rpe}"
