@@ -115,9 +115,12 @@ class GraphicEnd:
             dist_thresh=self.distance_threshold, percent=self.percent,
             hypotheses=self.hypotheses,
         )
+        from ..ops.features import registry as feat_registry
+
+        floor = feat_registry.match_floor(self.descriptor_name)
         self.multipnp = pipeline.build_multipnp_planes(
             self.intr, error_threshold=self.error_threshold,
-            hypotheses=self.hypotheses,
+            hypotheses=self.hypotheses, match_floor=floor,
         )
         self.batch_registrar = self._make_batch_registrar(image_only=False)
 
@@ -129,10 +132,13 @@ class GraphicEnd:
             return None
         from ..parallel.registration import BatchedRegistrar
 
+        from ..ops.features import registry as feat_registry
+
         return BatchedRegistrar(
             self.intr, image_only=image_only,
             error_threshold=self.error_threshold,
             hypotheses=self.hypotheses,
+            match_floor=feat_registry.match_floor(self.descriptor_name),
         )
 
     def next_key(self):
@@ -542,9 +548,12 @@ class GraphicEnd2(GraphicEnd):
             self.detector_name, self.descriptor_name, self.intr,
             max_kp=self.max_kp,
         )
+        from ..ops.features import registry as feat_registry
+
+        floor = feat_registry.match_floor(self.descriptor_name)
         self.multipnp = pipeline.build_multipnp_image(
             self.intr, error_threshold=self.error_threshold,
-            hypotheses=self.hypotheses,
+            hypotheses=self.hypotheses, match_floor=floor,
         )
         self.batch_registrar = self._make_batch_registrar(image_only=True)
 

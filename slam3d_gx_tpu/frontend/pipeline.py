@@ -193,11 +193,13 @@ def build_multipnp_planes(
     intr: CameraIntrinsics,
     error_threshold: float = 1.0,
     hypotheses: int = 256,
+    match_floor: float = 0.0,
 ) -> Callable:
     """GraphicEnd::multiPnP (src/GraphicEnd.cpp:557-659).
 
     minimum_inliers is a traced argument (12 normally, loop_closure_inliers
-    for loop closure — reference src/GraphicEnd.h:134).
+    for loop closure — reference src/GraphicEnd.h:134). match_floor: see
+    ops/features/registry.match_floor (binary descriptors need > 0).
     """
 
     @jax.jit
@@ -214,7 +216,7 @@ def build_multipnp_planes(
         # batched kernel chain instead of P sequential RANSAC solves)
         def per_plane(desc_a, kpv_a, obj, uv_b, desc_b, kpv_b, pv, k):
             midx, mdist, mok = match.match_nn(desc_a, kpv_a, desc_b, kpv_b)
-            good = match.good_match_filter(mdist, mok) & pv
+            good = match.good_match_filter(mdist, mok, floor=match_floor) & pv
             img = uv_b[midx]
             res_p = pnp.solve_pnp_ransac(
                 obj, img, good, intr.fx, intr.fy, intr.cx, intr.cy,
@@ -266,6 +268,7 @@ def build_multipnp_image(
     intr: CameraIntrinsics,
     error_threshold: float = 1.0,
     hypotheses: int = 256,
+    match_floor: float = 0.0,
 ) -> Callable:
     """GraphicEnd2::multiPnP (src/GraphicEnd2.cpp:235-312): single plane,
     one RANSAC at 8px, inlier gate, norm2 formula, no second solve."""
@@ -275,7 +278,7 @@ def build_multipnp_image(
         midx, mdist, mok = match.match_nn(
             fa.desc[0], fa.kp_valid[0], fb.desc[0], fb.kp_valid[0]
         )
-        good = match.good_match_filter(mdist, mok)
+        good = match.good_match_filter(mdist, mok, floor=match_floor)
         obj = fa.kp3d[0]
         img = fb.uv[0][midx]
         res = pnp.solve_pnp_ransac(

@@ -10,8 +10,8 @@ Parity surface: cv::FeatureDetector::create / DescriptorExtractor::create
   GFTT     -> Shi-Tomasi; HARRIS -> Harris
   FAST     -> FAST-9/16; GridFAST -> grid-budgeted FAST
   STAR     -> DoG single-scale blob response (CenSurE stand-in)
-  ORB      -> grid FAST detector / SIFT descriptor stand-in until the
-              binary BRIEF pipeline lands
+  ORB      -> grid FAST detector / rotated-BRIEF binary descriptor
+              (orb.py; bits stored as 0/1 floats so L2 = sqrt Hamming)
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ from typing import Callable, Optional
 
 import jax.numpy as jnp
 
-from . import dog, fast, harris, sift_desc
+from . import dog, fast, harris, orb, sift_desc
 from .common import Keypoints, apply_mask
 
 DetectorFn = Callable[..., Keypoints]
@@ -56,9 +56,25 @@ def create_detector(name: str, max_kp: int = 512) -> DetectorFn:
 def create_descriptor(name: str):
     """Returns describe(img, kps) -> (K,D) float32 descriptors."""
     key = name.strip().upper()
-    if key in ("SIFT", "SURF", "ORB", "BRIEF"):
+    if key in ("SIFT", "SURF"):
         return sift_desc.sift_descriptors
+    if key in ("ORB", "BRIEF"):
+        return orb.orb_descriptors
     raise ValueError(f"unknown descriptor name: {name!r}")
+
+
+def match_floor(descriptor_name: str) -> float:
+    """Distance floor for the 3*min_dist good-match gate.
+
+    SIFT-family floats keep the reference's no-floor behavior (their
+    min distance is never ~0 in practice). Binary descriptors (L2 =
+    sqrt Hamming) need one: a single exact match collapses the bound to
+    zero — the same degeneracy the reference's exp1 variant floors at
+    5.0 (src/exp1/exp1.cpp:315-321)."""
+    key = descriptor_name.strip().upper()
+    if key in ("ORB", "BRIEF"):
+        return 5.0
+    return 0.0
 
 
 def detect_and_describe(detector_name: str, descriptor_name: str, max_kp: int = 512):

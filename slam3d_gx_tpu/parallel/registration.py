@@ -57,6 +57,7 @@ def build_batched_multipnp(
     error_threshold: float = 1.0,
     hypotheses: int = 256,
     mesh: Optional[Mesh] = None,
+    match_floor: float = 0.0,
 ) -> Callable:
     """Returns batched(fa, fb, keys, min_inliers) -> MultiPnPResult with
     a leading batch axis on every field.
@@ -69,7 +70,8 @@ def build_batched_multipnp(
     """
     build = (pipeline.build_multipnp_image if image_only
              else pipeline.build_multipnp_planes)
-    single = build(intr, error_threshold=error_threshold, hypotheses=hypotheses)
+    single = build(intr, error_threshold=error_threshold,
+                   hypotheses=hypotheses, match_floor=match_floor)
     batched = jax.vmap(single, in_axes=(0, 0, 0, None))
 
     if mesh is None:
@@ -104,12 +106,12 @@ class BatchedRegistrar:
 
     def __init__(self, intr: CameraIntrinsics, image_only: bool,
                  error_threshold: float = 1.0, hypotheses: int = 256,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, match_floor: float = 0.0):
         self.mesh = mesh
         self.dp = mesh.shape[mesh_mod.DP_AXIS] if mesh is not None else 1
         self.fn = build_batched_multipnp(
             intr, image_only=image_only, error_threshold=error_threshold,
-            hypotheses=hypotheses, mesh=mesh,
+            hypotheses=hypotheses, mesh=mesh, match_floor=match_floor,
         )
 
     def __call__(self, pairs, key, min_inliers: int, pad_to: int = 0):
