@@ -17,3 +17,29 @@ Layer map mirrors SURVEY.md; parity citations point into /root/reference.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compile cache: the frontend's large jitted programs
+    (batched multiPnP, plane extraction, pose-graph LM) take minutes to
+    compile on some TPU toolchains; caching makes every process after the
+    first start hot. Opt out with SLAM3D_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("SLAM3D_NO_COMPILE_CACHE"):
+        return
+    path = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "slam3d_gx_tpu_xla"),
+    )
+    try:
+        import jax
+
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
+
+_enable_compilation_cache()

@@ -392,7 +392,6 @@ class GraphicEnd:
                      for i in cand]
             results = self.batch_registrar(
                 pairs, self.next_key(), self.loop_closure_inliers,
-                pad_to=self.loopclosure_frames + 2,
             )
             for i, (T, norm, inl, ok) in zip(cand, results):
                 if (not ok) or norm > self.loop_closure_error \
@@ -436,11 +435,7 @@ class GraphicEnd:
             cand = list(range(len(self.keyframes) - 1))
             pairs = [(self.keyframes[i].features, self.curr_kf.features)
                      for i in cand]
-            bucket = 8
-            while bucket < len(pairs):
-                bucket *= 2
-            results = self.batch_registrar(
-                pairs, self.next_key(), 12, pad_to=bucket)
+            results = self.batch_registrar(pairs, self.next_key(), 12)
             for i, (T, norm, inl, ok) in zip(cand, results):
                 if not ok or inl < self.loop_closure_inliers \
                         or norm > self.loop_closure_error:
@@ -487,25 +482,43 @@ class GraphicEnd:
         return True
 
     def checknearby(self, source: int, target: int) -> List[int]:
+        down = [i for i in range(target - 1, -1, -1) if i != source]
+        up = [i for i in range(target + 1, len(self.keyframes)) if i != source]
+
+        if self.batch_registrar is not None and (down or up):
+            # the sequential walk stops at the first failure in each
+            # direction; checking the whole window in ONE batched launch
+            # and truncating post-hoc accepts the identical prefix
+            cand = down + up
+            pairs = [(self.keyframes[source].features,
+                      self.keyframes[i].features) for i in cand]
+            results = self.batch_registrar(
+                pairs, self.next_key(), self.loop_closure_inliers)
+            verdict = {}
+            for i, (T, norm, inl, ok) in zip(cand, results):
+                verdict[i] = (
+                    ok and norm <= self.loop_closure_error
+                    and inl >= self.loop_closure_inliers, T)
+            checked = []
+            for walk in (down, up):
+                for i in walk:
+                    passed, T = verdict[i]
+                    if not passed:
+                        break
+                    self.opt.add_edge(
+                        self.keyframes[source].id, self.keyframes[i].id,
+                        se3.inverse(T), INFO_VISUAL, robust=True)
+                    self._more_loops += 1
+                    checked.append(i)
+            return checked
+
         checked = []
-        index = target
-        while index > 0:
-            index -= 1
-            if index == source:
-                continue
-            if self.check(source, index):
-                checked.append(index)
-            else:
-                break
-        index = target
-        while index < len(self.keyframes) - 1:
-            index += 1
-            if index == source:
-                continue
-            if self.check(source, index):
-                checked.append(index)
-            else:
-                break
+        for walk in (down, up):
+            for i in walk:
+                if self.check(source, i):
+                    checked.append(i)
+                else:
+                    break
         return checked
 
     def find_more_loops(self):

@@ -32,9 +32,13 @@ P = PartitionSpec
 
 
 def stack_features(frames) -> FrameFeatures:
-    """Stack host-side FrameFeatures into one batched pytree (B, ...)."""
+    """Stack FrameFeatures into one batched pytree (B, ...).
+
+    Device arrays stay on device (a np.asarray here would round-trip
+    every keyframe's descriptors through the host per loop-closure
+    round — seconds over a remote-relay link)."""
     return FrameFeatures(*[
-        jnp.stack([np.asarray(getattr(f, name)) for f in frames])
+        jnp.stack([jnp.asarray(getattr(f, name)) for f in frames])
         for name in FrameFeatures._fields
     ])
 
@@ -114,23 +118,31 @@ class BatchedRegistrar:
             hypotheses=hypotheses, mesh=mesh, match_floor=match_floor,
         )
 
-    def __call__(self, pairs, key, min_inliers: int, pad_to: int = 0):
+    def __call__(self, pairs, key, min_inliers: int, pad_to: int = 32):
         """pairs: list of (FrameFeatures, FrameFeatures). Returns a list of
         (T 4x4 np, norm, inliers, ok) per pair.
 
-        pad_to: minimum padded batch (use a fixed value per call site to
-        avoid one recompile per distinct batch size)."""
+        The device batch shape is FIXED at `pad_to` (padded by the dp
+        multiple): longer lists run in chunks of that size. One shape =
+        one compile — jit recompiles per distinct batch size otherwise,
+        and a frontend-sized multiPnP program can take minutes to build
+        on remote-compile toolchains."""
         if not pairs:
             return []
-        b = len(pairs)
-        b_pad = mesh_mod.pad_to_multiple(max(b, pad_to), self.dp)
-        fa = pad_batch(stack_features([p[0] for p in pairs]), b_pad)
-        fb = pad_batch(stack_features([p[1] for p in pairs]), b_pad)
-        keys = jax.random.split(key, b_pad)
-        res = self.fn(fa, fb, keys, jnp.int32(min_inliers))
-        T = np.asarray(res.T, np.float64)
-        norm = np.asarray(res.norm, np.float64)
-        inl = np.asarray(res.inliers, np.int64)
-        ok = np.asarray(res.ok, bool)
-        return [(T[i], float(norm[i]), int(inl[i]), bool(ok[i]))
-                for i in range(b)]
+        chunk = mesh_mod.pad_to_multiple(max(1, pad_to), self.dp)
+        out = []
+        for c0 in range(0, len(pairs), chunk):
+            part = pairs[c0:c0 + chunk]
+            b = len(part)
+            fa = pad_batch(stack_features([p[0] for p in part]), chunk)
+            fb = pad_batch(stack_features([p[1] for p in part]), chunk)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, chunk)
+            res = self.fn(fa, fb, keys, jnp.int32(min_inliers))
+            T = np.asarray(res.T, np.float64)
+            norm = np.asarray(res.norm, np.float64)
+            inl = np.asarray(res.inliers, np.int64)
+            ok = np.asarray(res.ok, bool)
+            out.extend((T[i], float(norm[i]), int(inl[i]), bool(ok[i]))
+                       for i in range(b))
+        return out
