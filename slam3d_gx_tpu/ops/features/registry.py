@@ -4,9 +4,10 @@ Parity surface: cv::FeatureDetector::create / DescriptorExtractor::create
 (reference src/GraphicEnd.cpp:63-65). Name mapping:
 
   SIFT     -> DoG detector / SIFT descriptor (the parity defaults)
-  SURF     -> DoG detector (fast-Hessian analog) / SIFT descriptor; the
-              reference only sweeps SURF in experiments, accuracy is
-              judged on trajectory metrics
+  SURF     -> fast-Hessian box-filter detector (surf.py) / SIFT
+              descriptor (128-d oriented gradients, a quality superset
+              of SURF's 64-d Haar sums; accuracy contract is
+              trajectory-level)
   GFTT     -> Shi-Tomasi; HARRIS -> Harris
   FAST     -> FAST-9/16; GridFAST -> grid-budgeted FAST
   STAR     -> DoG single-scale blob response (CenSurE stand-in)
@@ -31,8 +32,12 @@ def create_detector(name: str, max_kp: int = 512) -> DetectorFn:
     """Returns detect(img, mask=None) -> Keypoints."""
     key = name.strip().upper()
 
-    if key in ("SIFT", "SURF", "STAR"):
+    if key in ("SIFT", "STAR"):
         base = functools.partial(dog.detect_sift, max_kp=max_kp)
+    elif key == "SURF":
+        from . import surf
+
+        base = functools.partial(surf.detect_surf, max_kp=max_kp)
     elif key == "GFTT":
         base = functools.partial(harris.detect_gftt, max_kp=max_kp)
     elif key == "HARRIS":
