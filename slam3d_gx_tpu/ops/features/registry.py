@@ -10,7 +10,7 @@ Parity surface: cv::FeatureDetector::create / DescriptorExtractor::create
               trajectory-level)
   GFTT     -> Shi-Tomasi; HARRIS -> Harris
   FAST     -> FAST-9/16; GridFAST -> grid-budgeted FAST
-  STAR     -> DoG single-scale blob response (CenSurE stand-in)
+  STAR     -> CenSurE bi-level center-surround detector (star.py)
   ORB      -> grid FAST detector / rotated-BRIEF binary descriptor
               (orb.py; bits stored as 0/1 floats so L2 = sqrt Hamming)
 """
@@ -32,12 +32,16 @@ def create_detector(name: str, max_kp: int = 512) -> DetectorFn:
     """Returns detect(img, mask=None) -> Keypoints."""
     key = name.strip().upper()
 
-    if key in ("SIFT", "STAR"):
+    if key == "SIFT":
         base = functools.partial(dog.detect_sift, max_kp=max_kp)
     elif key == "SURF":
         from . import surf
 
         base = functools.partial(surf.detect_surf, max_kp=max_kp)
+    elif key == "STAR":
+        from . import star
+
+        base = functools.partial(star.detect_star, max_kp=max_kp)
     elif key == "GFTT":
         base = functools.partial(harris.detect_gftt, max_kp=max_kp)
     elif key == "HARRIS":

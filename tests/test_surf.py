@@ -55,3 +55,30 @@ def test_registry_and_matching():
     disp = (uv1 - uv0)[sel]
     med = np.median(disp, axis=0)
     assert abs(med[0] - 9) < 1.5 and abs(med[1]) < 1.5
+
+
+def test_star_detects_blobs():
+    from slam3d_gx_tpu.ops.features import star
+
+    blobs = [(60, 80, 3.0), (120, 200, 5.0), (180, 100, 7.0)]
+    img = _blob_image(blobs)
+    kps = star.detect_star(jnp.asarray(img), max_kp=32)
+    uv = np.asarray(kps.uv)[np.asarray(kps.valid)]
+    assert len(uv) >= 3
+    for (cy, cx, s) in blobs:
+        d = np.min(np.hypot(uv[:, 0] - cx, uv[:, 1] - cy))
+        assert d < 3.0, f"blob at ({cx},{cy}) missed by {d:.1f}px"
+
+
+def test_star_suppresses_lines():
+    from slam3d_gx_tpu.ops.features import star
+
+    img = np.zeros((240, 320), np.float32)
+    img[:, 150:170] = 200.0  # vertical bar: strong center-surround on edges
+    kps = star.detect_star(jnp.asarray(img), max_kp=64)
+    uv = np.asarray(kps.uv)[np.asarray(kps.valid)]
+    # edge responses along the bar must be suppressed (only bar ends or
+    # nothing may fire)
+    mid = uv[(uv[:, 1] > 40) & (uv[:, 1] < 200)] if len(uv) else uv
+    on_edges = [p for p in mid if abs(p[0] - 150) < 4 or abs(p[0] - 170) < 4]
+    assert len(on_edges) <= 2, on_edges
