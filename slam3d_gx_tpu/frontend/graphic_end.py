@@ -312,7 +312,10 @@ class GraphicEnd:
 
         self.index += 1
         if self.use_odometry:
-            self.odo_this = self.odometry[self.index - 1]
+            # clamp: after the final frame index points one past the
+            # odometry table (the reference would over-read its vector)
+            self.odo_this = self.odometry[
+                min(self.index, len(self.odometry)) - 1]
         return 1
 
     def _rescue_with_last(self, present: FrameFeatures):
@@ -614,5 +617,8 @@ class GraphicEnd2(GraphicEnd):
 
         self.index += 1
         if self.use_odometry:
-            self.odo_this = self.odometry[self.index - 1]
+            # clamp: after the final frame index points one past the
+            # odometry table (the reference would over-read its vector)
+            self.odo_this = self.odometry[
+                min(self.index, len(self.odometry)) - 1]
         return 0
