@@ -102,6 +102,10 @@ DEFAULTS: Dict[str, str] = {
     # device launch (parallel/registration.py); 0 = reference-style
     # sequential per-candidate checks
     "loop_closure_batched": "1",
+    # 1 = draw loop-closure candidates from the sharded keyframe
+    # database ranked by descriptor-match score (parallel/lcdb.py);
+    # 0 (default) = the reference's uniform random draws
+    "loop_closure_scored": "0",
 }
 
 # Intrinsics preset blocks the reference ships commented out

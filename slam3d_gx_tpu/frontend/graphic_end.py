@@ -90,6 +90,7 @@ class GraphicEnd:
         self._rng = random.Random(self.seed)
         self._key = jax.random.PRNGKey(self.seed)
         self._build_pipeline()
+        self.lcdb = None  # built lazily when loop_closure_scored is on
 
         # state
         self.robot = np.eye(4)
@@ -144,6 +145,19 @@ class GraphicEnd:
     def next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _register_keyframe(self, kf: Keyframe):
+        self.keyframes.append(kf)
+        if self.params.get_int("loop_closure_scored") == 0:
+            return
+        if self.lcdb is None:
+            from ..parallel.lcdb import KeyframeDatabase
+
+            f = kf.features
+            self.lcdb = KeyframeDatabase(
+                n_desc=f.desc.shape[0] * f.desc.shape[1],
+                dim=f.desc.shape[2])
+        self.lcdb.add(kf.features)
 
     # -- prefetch ------------------------------------------------------------
     def _setup_prefetch(self, want_pcd: bool):
@@ -264,7 +278,7 @@ class GraphicEnd:
         self._setup_prefetch(want_pcd=not self.image_only)
         feats = self._extract_present()
         self.curr_kf = Keyframe(id=0, frame_index=self.index, features=feats)
-        self.keyframes.append(self.curr_kf)
+        self._register_keyframe(self.curr_kf)
         est = self.odo_this if self.use_odometry else self.robot
         self.opt.add_vertex(0, est, fixed=True)
         self.last = feats
@@ -332,7 +346,7 @@ class GraphicEnd:
         # promote last
         new_id = self.curr_kf.id + 1
         self.curr_kf = Keyframe(id=new_id, frame_index=self.index - 1, features=self.last)
-        self.keyframes.append(self.curr_kf)
+        self._register_keyframe(self.curr_kf)
         est = self.odo_this if self.use_odometry else np.eye(4)
         self.opt.add_vertex(new_id, est)
         self.opt.add_edge(new_id - 1, new_id, se3.inverse(rr_T), INFO_VISUAL)
@@ -346,7 +360,7 @@ class GraphicEnd:
         new_id = self.curr_kf.id + 1
         self.kf_pos = self.robot
         self.curr_kf = Keyframe(id=new_id, frame_index=self.index, features=present)
-        self.keyframes.append(self.curr_kf)
+        self._register_keyframe(self.curr_kf)
         est = self.odo_this if self.use_odometry else np.eye(4)
         self.opt.add_vertex(new_id, est)
         self.opt.add_edge(new_id - 1, new_id, T, INFO_VISUAL)
@@ -377,14 +391,21 @@ class GraphicEnd:
         if len(self.keyframes) <= 3:
             return
         # candidate set: deterministic keyframes -3/-4 (src/GraphicEnd.cpp:
-        # 694-725) + `loopclosure_frames` dedup'd random draws (729-761)
+        # 694-725) + `loopclosure_frames` dedup'd draws (729-761). The
+        # reference samples uniformly at random; with `loop_closure_scored`
+        # the draws come from the sharded keyframe database ranked by
+        # descriptor-match score instead (parallel/lcdb.py, SURVEY.md §5.7)
         nearby = [len(self.keyframes) + i
                   for i in (-3, -4) if len(self.keyframes) + i >= 0]
         checked: List[int] = []
-        for _ in range(self.loopclosure_frames):
-            frame = self._rng.randrange(len(self.keyframes) - 3)
-            if frame not in checked:
-                checked.append(frame)
+        if self.lcdb is not None and self.lcdb.count > 3:
+            checked = self.lcdb.top_candidates(
+                self.curr_kf.features, self.loopclosure_frames)
+        else:
+            for _ in range(self.loopclosure_frames):
+                frame = self._rng.randrange(len(self.keyframes) - 3)
+                if frame not in checked:
+                    checked.append(frame)
 
         if self.batch_registrar is not None:
             # every candidate is judged independently in the reference, so
@@ -420,7 +441,7 @@ class GraphicEnd:
         self.kf_pos = self.robot
         self.curr_kf = Keyframe(id=new_id, frame_index=self.index, features=present)
         self._log("lost.txt", f"{new_id} {self.index}\n")
-        self.keyframes.append(self.curr_kf)
+        self._register_keyframe(self.curr_kf)
         est = self.odo_this if self.use_odometry else np.eye(4)
         self.opt.add_vertex(new_id, est)  # unconstrained (src/GraphicEnd.cpp:792)
         if self.use_odometry:

@@ -107,3 +107,25 @@ def test_odometry_mode_adds_odometry_edges(dataset_with_blackout, tmp_path_facto
     # recovery adds an odometry edge instead of scanning history
     lost_rows = open(os.path.join(datadir, "lost.txt")).read().strip().splitlines()
     assert len(lost_rows) >= 1
+
+
+def test_scored_loop_closure_mode(dataset_with_blackout, tmp_path_factory):
+    """loop_closure_scored=1: candidates come from the keyframe database
+    (parallel/lcdb.py) instead of random draws; loops still close."""
+    from slam3d_gx_tpu.frontend import GraphicEnd2
+
+    root, traj = dataset_with_blackout
+    datadir = str(tmp_path_factory.mktemp("data_scored"))
+    ge = GraphicEnd2(_params(root, loop_closure_scored="1", lost_frames=1),
+                     data_dir=datadir)
+    slam = SLAMEnd()
+    ge.init(slam)
+    slam.init(ge)
+    for _ in range(N - 1):
+        ge.run()
+    assert ge.lcdb is not None
+    assert ge.lcdb.count == len(ge.keyframes)
+    lc = os.path.join(datadir, "lc.txt")
+    assert os.path.exists(lc)
+    rows = [r for r in open(lc).read().splitlines() if r.strip()]
+    assert len(rows) >= 1  # scored retrieval found verifiable loops
