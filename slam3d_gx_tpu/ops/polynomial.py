@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def quartic_roots(coeffs, iters: int = 40):
+def quartic_roots(coeffs, iters: int = 24):
     """Roots of c4 x^4 + c3 x^3 + c2 x^2 + c1 x + c0.
 
     Args:
