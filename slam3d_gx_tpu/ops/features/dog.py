@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .common import Keypoints, gaussian_blur, topk_keypoints
+from .common import Keypoints, gaussian_blur
 
 N_LAYERS = 3          # nOctaveLayers
 SIGMA0 = 1.6
@@ -107,26 +107,46 @@ def detect_sift(img, max_kp: int = 512, n_octaves: int = 4) -> Keypoints:
         dog = jnp.stack([gs[i + 1] - gs[i] for i in range(N_LAYERS + 2)])
         ext = _extrema_mask(dog)
         scale = float(2**o)
-        for layer in range(1, N_LAYERS + 1):
-            d = dog[layer]
-            resp = jnp.where(
-                ext[layer] & (jnp.abs(d) > thr) & _edge_ok(d),
-                jnp.abs(d),
+        h, w = dog.shape[1], dog.shape[2]
+
+        # ONE top-k per octave over the (layer, y, x) stack — per-layer
+        # top-k triples the number of expensive sorts for no benefit
+        resp_stack = jnp.stack([
+            jnp.where(
+                ext[layer] & (jnp.abs(dog[layer]) > thr) & _edge_ok(dog[layer]),
+                jnp.abs(dog[layer]),
                 -jnp.inf,
             )
-            k_oct = max_kp
-            kps = topk_keypoints(resp, k_oct, threshold=0.0, nms_radius=1, border=4)
-            du, dv = _subpixel_shift(d)
-            ui = jnp.clip(kps.uv[:, 0].astype(jnp.int32), 0, d.shape[1] - 1)
-            vi = jnp.clip(kps.uv[:, 1].astype(jnp.int32), 0, d.shape[0] - 1)
-            uv = kps.uv + jnp.stack([du[vi, ui], dv[vi, ui]], axis=-1)
-            sigma = SIGMA0 * (2.0 ** (layer / N_LAYERS)) * scale
-            all_kps.append(
-                kps._replace(
-                    uv=uv * scale,
-                    size=jnp.full((k_oct,), 2.0 * sigma, jnp.float32),
-                )
-            )
+            for layer in range(1, N_LAYERS + 1)
+        ])  # (L,h,w)
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        inside = (row >= 4) & (row < h - 4) & (col >= 4) & (col < w - 4)
+        resp_stack = jnp.where(inside[None], resp_stack, -jnp.inf)
+
+        vals, idx = jax.lax.top_k(resp_stack.reshape(-1), max_kp)
+        layer_i = idx // (h * w)
+        vi = (idx % (h * w)) // w
+        ui = idx % w
+        valid = vals > 0.0
+
+        du_s, dv_s = zip(*[_subpixel_shift(dog[layer])
+                           for layer in range(1, N_LAYERS + 1)])
+        du_s = jnp.stack(du_s)
+        dv_s = jnp.stack(dv_s)
+        du = du_s[layer_i, vi, ui]
+        dv = dv_s[layer_i, vi, ui]
+        uv = jnp.stack([ui.astype(jnp.float32) + du,
+                        vi.astype(jnp.float32) + dv], axis=-1)
+        sigma = SIGMA0 * (2.0 ** ((layer_i.astype(jnp.float32) + 1.0)
+                                  / N_LAYERS)) * scale
+        all_kps.append(Keypoints(
+            uv=uv * scale,
+            response=jnp.where(valid, vals, 0.0),
+            size=2.0 * sigma,
+            angle=jnp.zeros((max_kp,), jnp.float32),
+            valid=valid,
+        ))
         # next octave: downsample the gaussian image with sigma 2*SIGMA0
         base = _downsample2(gs[N_LAYERS])
 
