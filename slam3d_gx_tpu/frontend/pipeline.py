@@ -153,7 +153,7 @@ def build_image_extractor(
 ) -> Callable:
     """GraphicEnd2 path: whole image = one pseudo-plane
     (reference src/GraphicEnd2.cpp:133,156,203-212)."""
-    detect = registry.create_detector(detector_name, max_kp)
+    detect = registry.create_detector(detector_name, max_kp, unbatched=True)
     describe = registry.create_descriptor(descriptor_name)
 
     @jax.jit

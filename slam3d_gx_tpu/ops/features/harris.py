@@ -45,7 +45,8 @@ def harris_response(img, k: float = 0.04, block_radius: int = 1):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_kp", "use_harris", "nms_radius")
+    jax.jit, static_argnames=("max_kp", "use_harris", "nms_radius",
+                              "fused_response")
 )
 def detect_gftt(
     img,
@@ -54,10 +55,23 @@ def detect_gftt(
     use_harris: bool = False,
     harris_k: float = 0.04,
     nms_radius: int = 1,
+    fused_response: bool = False,
 ) -> Keypoints:
-    """img: (H,W) uint8/float. Returns fixed-capacity Keypoints."""
+    """img: (H,W) uint8/float. Returns fixed-capacity Keypoints.
+
+    fused_response=True uses the single-block Pallas response kernel —
+    only for UNBATCHED calls (under vmap the whole batch lands in one
+    kernel's VMEM and overflows it); the plane pipeline vmaps over
+    planes and must keep the XLA path."""
     x = img.astype(jnp.float32)
-    resp = harris_response(x, harris_k) if use_harris else min_eig_response(x)
+    if use_harris:
+        resp = harris_response(x, harris_k)
+    elif fused_response:
+        from .. import pallas_kernels
+
+        resp = pallas_kernels.min_eig_response_fused(x)
+    else:
+        resp = min_eig_response(x)
     resp = jnp.clip(resp, 0.0, None)
     thresh = jnp.max(resp) * quality_level
     kps = topk_keypoints(resp, max_kp, threshold=0.0, nms_radius=nms_radius, border=2)

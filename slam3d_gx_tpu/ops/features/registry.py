@@ -28,8 +28,13 @@ from .common import Keypoints, apply_mask
 DetectorFn = Callable[..., Keypoints]
 
 
-def create_detector(name: str, max_kp: int = 512) -> DetectorFn:
-    """Returns detect(img, mask=None) -> Keypoints."""
+def create_detector(name: str, max_kp: int = 512,
+                    unbatched: bool = False) -> DetectorFn:
+    """Returns detect(img, mask=None) -> Keypoints.
+
+    unbatched=True promises the detector is never called under vmap,
+    unlocking single-block Pallas kernels that keep whole images in
+    VMEM (GFTT's fused response)."""
     key = name.strip().upper()
 
     if key == "SIFT":
@@ -43,7 +48,8 @@ def create_detector(name: str, max_kp: int = 512) -> DetectorFn:
 
         base = functools.partial(star.detect_star, max_kp=max_kp)
     elif key == "GFTT":
-        base = functools.partial(harris.detect_gftt, max_kp=max_kp)
+        base = functools.partial(harris.detect_gftt, max_kp=max_kp,
+                                 fused_response=unbatched)
     elif key == "HARRIS":
         base = functools.partial(harris.detect_gftt, max_kp=max_kp, use_harris=True)
     elif key == "FAST":

@@ -141,6 +141,85 @@ def _apply_lut256_pallas(values_f32, lut):
     return out.reshape(-1)[:n]
 
 
+def _min_eig_kernel(img_ref, out_ref, *, real_w: int):
+    """Fused Shi-Tomasi response: Sobel -> 3x3 box -> min eigenvalue,
+    entirely in VMEM (the XLA version materializes ~8 HBM intermediates).
+    img_ref is the edge-padded image (H+2, Wp+2); out (H, Wp). Columns
+    >= real_w are lane padding."""
+    x = img_ref[:]
+    Hp, Wp = x.shape
+    H, W = Hp - 2, Wp - 2
+
+    def sl(a, dy, dx, h, w):
+        return jax.lax.slice(a, (dy, dx), (dy + h, dx + w))
+
+    # Sobel (valid on the 1-padded image -> (H, W))
+    dx = (sl(x, 0, 2, H, W) - sl(x, 0, 0, H, W)
+          + 2.0 * (sl(x, 1, 2, H, W) - sl(x, 1, 0, H, W))
+          + sl(x, 2, 2, H, W) - sl(x, 2, 0, H, W))
+    dy = (sl(x, 2, 0, H, W) - sl(x, 0, 0, H, W)
+          + 2.0 * (sl(x, 2, 1, H, W) - sl(x, 0, 1, H, W))
+          + sl(x, 2, 2, H, W) - sl(x, 0, 2, H, W))
+
+    # lane-padding columns carry sobel values computed from replicated
+    # pixels; clamp them to the true last column so the box stage sees
+    # edge-replicated GRADIENTS (box_filter's border semantics)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    last_dx = jax.lax.slice(dx, (0, real_w - 1), (H, real_w))
+    last_dy = jax.lax.slice(dy, (0, real_w - 1), (H, real_w))
+    dx = jnp.where(col < real_w, dx, last_dx)
+    dy = jnp.where(col < real_w, dy, last_dy)
+
+    def box(a):
+        # 3x3 mean with edge-padded GRADIENT (matches
+        # ops/features/common.box_filter's border semantics)
+        ap = jnp.pad(a, 1, mode="edge")
+        s = jnp.zeros((H, W), a.dtype)
+        for oy in range(3):
+            for ox in range(3):
+                s = s + sl(ap, oy, ox, H, W)
+        return s / 9.0
+
+    sxx = box(dx * dx)
+    syy = box(dy * dy)
+    sxy = box(dx * dy)
+    tr_half = (sxx + syy) * 0.5
+    det_part = jnp.sqrt(((sxx - syy) * 0.5) ** 2 + sxy * sxy)
+    out_ref[:] = tr_half - det_part
+
+
+def min_eig_response_fused(img, use_pallas: bool | None = None):
+    """Shi-Tomasi min-eigenvalue response map (H,W) -> (H,W).
+
+    Numerically matches ops/features/harris.min_eig_response (same
+    Sobel + box pipeline, edge padding) but runs as one Pallas block.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        from ..ops.features import harris  # local import: avoid cycle
+
+        return harris.min_eig_response(img)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = img.shape
+    Wp = ((W + LANES - 1) // LANES) * LANES
+    x = img.astype(jnp.float32)
+    if Wp > W:
+        x = jnp.pad(x, ((0, 0), (0, Wp - W)), mode="edge")
+    x = jnp.pad(x, ((1, 1), (1, 1)), mode="edge")
+
+    out = pl.pallas_call(
+        functools.partial(_min_eig_kernel, real_w=W),
+        out_shape=jax.ShapeDtypeStruct((H, Wp), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(x)
+    return out[:, :W]
+
+
 def apply_lut256(values, lut, use_pallas: bool | None = None):
     """Elementwise lut[values] for integer-valued `values` in [0,255].
 

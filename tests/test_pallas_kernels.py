@@ -60,3 +60,20 @@ def test_apply_lut_pallas_interpret(rng):
     finally:
         pallas.pallas_call = orig
     np.testing.assert_array_equal(out, lut[vals.astype(np.int64)])
+
+
+def test_min_eig_fused_matches_xla(rng):
+    import functools
+    from jax.experimental import pallas
+    from slam3d_gx_tpu.ops.features import harris
+
+    img = jnp.asarray(rng.normal(size=(48, 200)).astype(np.float32) * 50)
+    ref = np.asarray(harris.min_eig_response(img))
+    orig = pallas.pallas_call
+    try:
+        pallas.pallas_call = functools.partial(orig, interpret=True)
+        got = np.asarray(pallas_kernels.min_eig_response_fused(
+            img, use_pallas=True))
+    finally:
+        pallas.pallas_call = orig
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-3)
