@@ -12,7 +12,8 @@ Baseline: the BASELINE.md north star of 30 FPS real-time frontend.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env overrides: BENCH_FRAMES (timed steps), BENCH_DETECTOR, BENCH_MAXKP,
-BENCH_HYPOTHESES.
+BENCH_HYPOTHESES, BENCH_MODE=planes|imageonly (GraphicEnd vs GraphicEnd2
+pipeline).
 """
 
 from __future__ import annotations
@@ -46,9 +47,10 @@ def main() -> int:
     detector = os.environ.get("BENCH_DETECTOR", "GFTT")
     max_kp = int(os.environ.get("BENCH_MAXKP", "512"))
     hypotheses = int(os.environ.get("BENCH_HYPOTHESES", "256"))
+    mode = os.environ.get("BENCH_MODE", "planes")
     baseline_fps = 30.0
 
-    log(f"bench: {detector}/SIFT max_kp={max_kp} hyp={hypotheses} "
+    log(f"bench: {mode} {detector}/SIFT max_kp={max_kp} hyp={hypotheses} "
         f"{w}x{h} on {jax.devices()[0].platform}")
 
     # --- data: a short synthetic orbit, rendered once on host ------------
@@ -65,30 +67,44 @@ def main() -> int:
         depths.append(jnp.asarray(d.astype(np.uint16)))
 
     # --- jitted per-frame step -------------------------------------------
-    extract = pipeline.build_plane_extractor(
-        detector, "SIFT", intr, max_planes=3, max_kp=max_kp,
-        hypotheses=hypotheses)
-    multipnp = pipeline.build_multipnp_planes(intr, hypotheses=hypotheses)
+    from slam3d_gx_tpu.frontend.state import empty_frame
 
-    @jax.jit
-    def frame_step(prev_feat, gray, depth, key):
-        xyz, valid = pointcloud.backproject(
-            depth, intr.fx, intr.fy, intr.cx, intr.cy, intr.factor)
-        xyz = xyz.reshape(-1, 3)
-        valid = pointcloud.passthrough_z(xyz, valid.reshape(-1), 0.0, 7.0)
-        k1, k2 = jax.random.split(key)
-        feat = extract(gray.astype(jnp.float32), depth.astype(jnp.float32),
-                       xyz, valid, k1)
-        res = multipnp(prev_feat, feat, k2, jnp.int32(12))
-        return feat, res.T, res.norm, res.inliers
+    if mode == "imageonly":
+        extract_img = pipeline.build_image_extractor(
+            detector, "SIFT", intr, max_kp=max_kp)
+        multipnp = pipeline.build_multipnp_image(intr, hypotheses=hypotheses)
+        n_planes = 1
+
+        @jax.jit
+        def frame_step(prev_feat, gray, depth, key):
+            feat = extract_img(gray, depth)
+            res = multipnp(prev_feat, feat, key, jnp.int32(12))
+            return feat, res.T, res.norm, res.inliers
+    else:
+        extract = pipeline.build_plane_extractor(
+            detector, "SIFT", intr, max_planes=3, max_kp=max_kp,
+            hypotheses=hypotheses)
+        multipnp = pipeline.build_multipnp_planes(intr, hypotheses=hypotheses)
+        n_planes = 3
+
+        @jax.jit
+        def frame_step(prev_feat, gray, depth, key):
+            xyz, valid = pointcloud.backproject(
+                depth, intr.fx, intr.fy, intr.cx, intr.cy, intr.factor)
+            xyz = xyz.reshape(-1, 3)
+            valid = pointcloud.passthrough_z(xyz, valid.reshape(-1), 0.0, 7.0)
+            k1, k2 = jax.random.split(key)
+            feat = extract(gray.astype(jnp.float32),
+                           depth.astype(jnp.float32), xyz, valid, k1)
+            res = multipnp(prev_feat, feat, k2, jnp.int32(12))
+            return feat, res.T, res.norm, res.inliers
 
     # --- warmup (compile + first iterations) ------------------------------
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, n_timed + 4)
-    from slam3d_gx_tpu.frontend.state import empty_frame
 
     t0 = time.time()
-    feat = frame_step(empty_frame(3, max_kp, 128),
+    feat = frame_step(empty_frame(n_planes, max_kp, 128),
                       grays[0], depths[0], keys[1])[0]
     jax.block_until_ready(feat)
     log(f"compile+first step: {time.time() - t0:.1f}s")

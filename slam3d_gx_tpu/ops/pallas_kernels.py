@@ -141,51 +141,76 @@ def _apply_lut256_pallas(values_f32, lut):
     return out.reshape(-1)[:n]
 
 
-def _min_eig_kernel(img_ref, out_ref, *, real_w: int):
-    """Fused Shi-Tomasi response: Sobel -> 3x3 box -> min eigenvalue,
-    entirely in VMEM (the XLA version materializes ~8 HBM intermediates).
-    img_ref is the edge-padded image (H+2, Wp+2); out (H, Wp). Columns
-    >= real_w are lane padding."""
-    x = img_ref[:]
-    Hp, Wp = x.shape
+def _min_eig_kernel(img_ref, out_ref, *, real_w: int, stripe: int):
+    """Fused Shi-Tomasi response: Sobel -> 3x3 box -> min eigenvalue.
+
+    Streams row stripes through VMEM registers — a whole-image version
+    keeps ~20 full-size intermediates live and overflows the 16 MB
+    scoped VMEM. img_ref is the edge-padded image (H+2, Wp+2); out
+    (H, Wp). Columns >= real_w are lane padding.
+    """
+    Hp, Wp = img_ref.shape
     H, W = Hp - 2, Wp - 2
 
     def sl(a, dy, dx, h, w):
         return jax.lax.slice(a, (dy, dx), (dy + h, dx + w))
 
-    # Sobel (valid on the 1-padded image -> (H, W))
-    dx = (sl(x, 0, 2, H, W) - sl(x, 0, 0, H, W)
-          + 2.0 * (sl(x, 1, 2, H, W) - sl(x, 1, 0, H, W))
-          + sl(x, 2, 2, H, W) - sl(x, 2, 0, H, W))
-    dy = (sl(x, 2, 0, H, W) - sl(x, 0, 0, H, W)
-          + 2.0 * (sl(x, 2, 1, H, W) - sl(x, 0, 1, H, W))
-          + sl(x, 2, 2, H, W) - sl(x, 0, 2, H, W))
+    def grad_rows(r0, n):
+        """Sobel gradient for output rows r0..r0+n (clamped to image)."""
+        lo = max(r0, 0)
+        hi = min(r0 + n, H)
+        x = img_ref[lo:hi + 2, :]  # padded rows covering the window
+        m = hi - lo
+        gdx = (sl(x, 0, 2, m, W) - sl(x, 0, 0, m, W)
+               + 2.0 * (sl(x, 1, 2, m, W) - sl(x, 1, 0, m, W))
+               + sl(x, 2, 2, m, W) - sl(x, 2, 0, m, W))
+        gdy = (sl(x, 2, 0, m, W) - sl(x, 0, 0, m, W)
+               + 2.0 * (sl(x, 2, 1, m, W) - sl(x, 0, 1, m, W))
+               + sl(x, 2, 2, m, W) - sl(x, 0, 2, m, W))
+        # edge-replicate rows clipped at the image border (box_filter's
+        # gradient-padding semantics); explicit concatenates — mosaic
+        # rejects the zero-size broadcasts jnp.pad(mode="edge") emits
+        top = lo - r0
+        bot = (r0 + n) - hi
 
-    # lane-padding columns carry sobel values computed from replicated
-    # pixels; clamp them to the true last column so the box stage sees
-    # edge-replicated GRADIENTS (box_filter's border semantics)
-    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    last_dx = jax.lax.slice(dx, (0, real_w - 1), (H, real_w))
-    last_dy = jax.lax.slice(dy, (0, real_w - 1), (H, real_w))
-    dx = jnp.where(col < real_w, dx, last_dx)
-    dy = jnp.where(col < real_w, dy, last_dy)
+        def vpad(a):
+            parts = []
+            if top > 0:
+                parts.append(jnp.broadcast_to(a[0:1], (top, W)))
+            parts.append(a)
+            if bot > 0:
+                parts.append(jnp.broadcast_to(a[-1:], (bot, W)))
+            return jnp.concatenate(parts, axis=0) if len(parts) > 1 else a
 
-    def box(a):
-        # 3x3 mean with edge-padded GRADIENT (matches
-        # ops/features/common.box_filter's border semantics)
-        ap = jnp.pad(a, 1, mode="edge")
-        s = jnp.zeros((H, W), a.dtype)
-        for oy in range(3):
-            for ox in range(3):
-                s = s + sl(ap, oy, ox, H, W)
-        return s / 9.0
+        gdx = vpad(gdx)
+        gdy = vpad(gdy)
+        # lane padding: clamp to the true last column
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, W), 1)
+        gdx = jnp.where(col < real_w, gdx,
+                        jax.lax.slice(gdx, (0, real_w - 1), (n, real_w)))
+        gdy = jnp.where(col < real_w, gdy,
+                        jax.lax.slice(gdy, (0, real_w - 1), (n, real_w)))
+        return gdx, gdy
 
-    sxx = box(dx * dx)
-    syy = box(dy * dy)
-    sxy = box(dx * dy)
-    tr_half = (sxx + syy) * 0.5
-    det_part = jnp.sqrt(((sxx - syy) * 0.5) ** 2 + sxy * sxy)
-    out_ref[:] = tr_half - det_part
+    for r0 in range(0, H, stripe):
+        n = min(stripe, H - r0)
+        gdx, gdy = grad_rows(r0 - 1, n + 2)  # +-1 halo for the box
+
+        def box(a):
+            ap = jnp.concatenate(
+                [a[:, 0:1], a, a[:, -1:]], axis=1)  # horizontal edge pad
+            s = jnp.zeros((n, W), a.dtype)
+            for oy in range(3):
+                for ox in range(3):
+                    s = s + sl(ap, oy, ox, n, W)
+            return s / 9.0
+
+        sxx = box(gdx * gdx)
+        syy = box(gdy * gdy)
+        sxy = box(gdx * gdy)
+        tr_half = (sxx + syy) * 0.5
+        det_part = jnp.sqrt(((sxx - syy) * 0.5) ** 2 + sxy * sxy)
+        out_ref[r0:r0 + n, :] = tr_half - det_part
 
 
 def min_eig_response_fused(img, use_pallas: bool | None = None):
@@ -212,7 +237,7 @@ def min_eig_response_fused(img, use_pallas: bool | None = None):
     x = jnp.pad(x, ((1, 1), (1, 1)), mode="edge")
 
     out = pl.pallas_call(
-        functools.partial(_min_eig_kernel, real_w=W),
+        functools.partial(_min_eig_kernel, real_w=W, stripe=64),
         out_shape=jax.ShapeDtypeStruct((H, Wp), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
