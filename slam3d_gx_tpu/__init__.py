@@ -22,11 +22,14 @@ import os as _os
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compile cache: the frontend's large jitted programs
-    (batched multiPnP, plane extraction, pose-graph LM) take minutes to
-    compile on some TPU toolchains; caching makes every process after the
-    first start hot. Opt out with SLAM3D_NO_COMPILE_CACHE=1."""
-    if _os.environ.get("SLAM3D_NO_COMPILE_CACHE"):
+    """Persistent XLA compile cache, opt-in via SLAM3D_COMPILE_CACHE=1
+    (or an explicit JAX_COMPILATION_CACHE_DIR): the frontend's large
+    jitted programs take minutes to compile on some TPU toolchains.
+    Not enabled by default — cache entries AOT-compiled on a machine
+    with more CPU features than the host can SIGILL when reloaded
+    (observed with remote-compile toolchains)."""
+    if not (_os.environ.get("SLAM3D_COMPILE_CACHE")
+            or _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
         return
     path = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
