@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# machine-local compile cache: the pipeline's large CPU test programs
+# dominate suite wall time; entries are produced and consumed on this
+# machine only (no cross-machine AOT risk)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/slam3d_test_xla_cache")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ.get("SLAM3D_TEST_PLATFORM", "cpu"))

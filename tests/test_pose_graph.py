@@ -53,7 +53,8 @@ def ate(gt, est):
     )
 
 
-def test_lm_reduces_error(rng):
+def test_lm_reduces_error():
+    rng = np.random.default_rng(101)
     gt, init, opt = build_noisy_ring(rng)
     before = ate(gt, init)
     chi = opt.optimize(n_iters=30)
@@ -65,13 +66,15 @@ def test_lm_reduces_error(rng):
     assert np.isfinite(chi)
 
 
-def test_fixed_vertex_stays_fixed(rng):
+def test_fixed_vertex_stays_fixed():
+    rng = np.random.default_rng(102)
     gt, init, opt = build_noisy_ring(rng)
     opt.optimize(n_iters=10)
     np.testing.assert_allclose(opt.vertex_estimate(0), np.eye(4), atol=1e-12)
 
 
-def test_rotations_stay_orthonormal(rng):
+def test_rotations_stay_orthonormal():
+    rng = np.random.default_rng(103)
     gt, init, opt = build_noisy_ring(rng)
     opt.optimize(n_iters=30)
     for i in range(len(gt)):
@@ -79,7 +82,8 @@ def test_rotations_stay_orthonormal(rng):
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
 
 
-def test_perfect_graph_is_stationary(rng):
+def test_perfect_graph_is_stationary():
+    rng = np.random.default_rng(104)
     """Consistent measurements + consistent init -> chi ~ 0, poses kept."""
     gt = [np.eye(4)]
     for i in range(1, 6):
@@ -96,7 +100,8 @@ def test_perfect_graph_is_stationary(rng):
         np.testing.assert_allclose(opt.vertex_estimate(i), gt[i], atol=1e-4)
 
 
-def test_robust_kernel_downweights_outlier_edge(rng):
+def test_robust_kernel_downweights_outlier_edge():
+    rng = np.random.default_rng(105)
     """A single wildly-wrong robust loop edge must not destroy the graph."""
     gt, init, opt = build_noisy_ring(rng)
     bogus = se3.make_isometry(se3.rodrigues([0, 2.5, 0]), [5.0, 5.0, 5.0])
@@ -106,7 +111,8 @@ def test_robust_kernel_downweights_outlier_edge(rng):
     assert ate(gt, est) < 0.25
 
 
-def test_unconstrained_vertex_survives(rng):
+def test_unconstrained_vertex_survives():
+    rng = np.random.default_rng(106)
     """lostRecovery inserts a vertex with no edges (reference
     src/GraphicEnd.cpp:792) — the solve must stay well-posed."""
     gt, init, opt = build_noisy_ring(rng)
