@@ -262,6 +262,36 @@ class GraphicEnd:
             self.curr_cloud_mask, self.next_key(),
         )
 
+    # -- software pipelining (SURVEY.md §2.4 item 3) -----------------------
+    def _take_or_extract_present(self) -> FrameFeatures:
+        """Consume the pre-dispatched extraction for this frame, or fall
+        back to the synchronous read+extract."""
+        pend = getattr(self, "_pending_feat", None)
+        if pend is not None and self._pending_index == self.index:
+            self._pending_feat = None
+            return pend
+        self.readimage()
+        return self._extract_present()
+
+    def _dispatch_next_extract(self):
+        """Read + dispatch extraction for frame index+1 NOW — after the
+        current frame's multiPnP is enqueued but before its result is
+        read back, so the device computes the next frame's features
+        during the host's readback + keyframe decision (the reference's
+        loop is fully synchronous, src/run_SLAM.cpp:30-33)."""
+        nxt = self.index + 1
+        if not os.path.exists(os.path.join(self.rgb_path, f"{nxt}.png")):
+            self._pending_feat = None
+            return
+        cur = self.index
+        self.index = nxt  # readimage/extract key off self.index
+        try:
+            self.readimage()
+            self._pending_feat = self._extract_present()
+            self._pending_index = nxt
+        finally:
+            self.index = cur
+
     # -- init -----------------------------------------------------------------
     def init(self, slam_end):
         self.slam_end = slam_end
@@ -287,13 +317,15 @@ class GraphicEnd:
 
     # -- per-frame step ---------------------------------------------------------
     def run(self):
-        self.readimage()
-        present = self._extract_present()
+        present = self._take_or_extract_present()
         self.present = present
 
         res = self.multipnp(
             self.curr_kf.features, present, self.next_key(), 12
         )
+        # overlap: next frame's decode+extract runs on the device while
+        # the host blocks on this frame's pose readback below
+        self._dispatch_next_extract()
         T, norm, inliers, ok = result_to_host(res)
         T = se3.inverse(T)  # "好像是反着的" (src/GraphicEnd.cpp:170)
 
@@ -610,11 +642,11 @@ class GraphicEnd2(GraphicEnd):
         return self.extract_img(self.curr_gray, self.curr_depth)
 
     def run(self):
-        self.readimage()
-        present = self._extract_present()
+        present = self._take_or_extract_present()
         self.present = present
 
         res = self.multipnp(self.curr_kf.features, present, self.next_key(), 12)
+        self._dispatch_next_extract()
         T, norm, inliers, ok = result_to_host(res)
         T = se3.inverse(T)
 
