@@ -45,8 +45,6 @@ from .state import FrameFeatures, Keyframe, result_to_host
 
 INFO_VISUAL = np.diag([100.0] * 6)
 
-CLOUD_CAP = 1 << 16  # voxel-grid output capacity fed to plane RANSAC
-
 
 class GraphicEnd:
     """Plane-feature SLAM frontend."""
@@ -604,7 +602,6 @@ class GraphicEnd:
     generateKeyFrame = generate_keyframe  # noqa: N815
     loopClosure = loop_closure  # noqa: N815
     lostRecovery = lost_recovery  # noqa: N815
-
 
 class GraphicEnd2(GraphicEnd):
     """Image-only frontend (reference src/GraphicEnd2.cpp): whole image as
