@@ -129,3 +129,41 @@ def test_scored_loop_closure_mode(dataset_with_blackout, tmp_path_factory):
     assert os.path.exists(lc)
     rows = [r for r in open(lc).read().splitlines() if r.strip()]
     assert len(rows) >= 1  # scored retrieval found verifiable loops
+
+
+def test_rescue_with_last_promotes_both(tmp_path_factory):
+    """GraphicEnd's lost branch: when the stale keyframe no longer
+    matches but the previous ordinary frame does, BOTH are promoted
+    (reference src/GraphicEnd.cpp:183-227)."""
+    from slam3d_gx_tpu.frontend import GraphicEnd
+
+    root = str(tmp_path_factory.mktemp("rescue"))
+    scene = synthetic.RoomScene(seed=7)
+    # wide orbit: consecutive frames overlap, but frame 1 vs frame ~6+
+    # share almost no view
+    traj = synthetic.orbit_trajectory(10, radius=0.9, yaw_amp=0.9)
+    synthetic.write_dataset(root, scene, traj, INTR, write_pcd=True)
+
+    # max_pos_change huge -> no ordinary keyframe promotion: curr_kf
+    # stays frame 1 until tracking against it fails
+    ge = GraphicEnd(_params(root, max_pos_change=999.0, lost_frames=5,
+                            loop_closure_inliers=20),
+                    data_dir=str(tmp_path_factory.mktemp("data_rescue")))
+    slam = SLAMEnd()
+    ge.init(slam)
+    slam.init(ge)
+    for _ in range(9):
+        ge.run()
+
+    # the rescue fired at least once: more than the initial keyframe and
+    # consecutive ids promoted in one step (last + present)
+    assert len(ge.keyframes) >= 3, [k.frame_index for k in ge.keyframes]
+    # consecutive frame indices appearing as back-to-back keyframes is the
+    # rescue signature (promote last=f-1 then present=f)
+    pairs = list(zip(ge.keyframes, ge.keyframes[1:]))
+    assert any(b.frame_index - a.frame_index == 1 for a, b in pairs), \
+        [k.frame_index for k in ge.keyframes]
+    # both promotions added constrained vertices (edge between them)
+    g = ge.opt.graph
+    edge_pairs = {(e.id1, e.id2) for e in g.edges}
+    assert any((a.id, b.id) in edge_pairs for a, b in pairs)
