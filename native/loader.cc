@@ -54,6 +54,7 @@ struct Loader {
   std::vector<std::string> paths;
   Mode mode;
   int64_t item_bytes;  // capacity per slot
+  uint32_t expect_w = 0, expect_h = 0;  // 0 = don't check
   int depth;
   std::vector<Slot> slots;
   std::vector<std::thread> workers;
@@ -97,9 +98,20 @@ struct Loader {
           uint32_t w, h, ch, bd;
           if (slam3d_png_info(raw.data(), int64_t(raw.size()), &w, &h, &ch,
                               &bd) == 0) {
+            // slam3d_png_decode writes per the file's *actual*
+            // channels/bitdepth, so the mode must be validated before
+            // decoding into the fixed-size slot (else heap overflow):
+            //  kGray8:  8-bit, 1ch (raw copy) or >=3ch (to_gray) -> w*h
+            //  kDepth16: 16-bit single channel              -> w*h*2
+            bool fmt_ok =
+                (mode == kGray8)
+                    ? (bd == 8 && (ch == 1 || ch >= 3))
+                    : (bd == 16 && ch == 1);
+            bool dims_ok = (expect_w == 0 || w == expect_w) &&
+                           (expect_h == 0 || h == expect_h);
             int64_t need = (mode == kGray8) ? int64_t(w) * h
                                             : int64_t(w) * h * 2;
-            if (need <= item_bytes) {
+            if (fmt_ok && dims_ok && need <= item_bytes) {
               ok = slam3d_png_decode(raw.data(), int64_t(raw.size()),
                                      s->data.data(), mode == kGray8 ? 1 : 0);
               payload = need;
@@ -121,13 +133,18 @@ struct Loader {
 
 extern "C" {
 
-// paths: NUL-separated concatenation. Returns opaque handle.
+// paths: NUL-separated concatenation. expect_w/expect_h: required
+// decoded dimensions for image modes (0 = accept any that fits).
+// Returns opaque handle.
 void* slam3d_loader_create(const char* paths_blob, int64_t blob_len,
                            int n_paths, int mode, int64_t item_bytes,
-                           int queue_depth, int n_threads) {
+                           int queue_depth, int n_threads, int expect_w,
+                           int expect_h) {
   auto* L = new Loader();
   L->mode = Mode(mode);
   L->item_bytes = item_bytes;
+  L->expect_w = uint32_t(expect_w > 0 ? expect_w : 0);
+  L->expect_h = uint32_t(expect_h > 0 ? expect_h : 0);
   L->depth = queue_depth;
   const char* p = paths_blob;
   const char* end = paths_blob + blob_len;

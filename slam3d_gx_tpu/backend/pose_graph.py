@@ -2,18 +2,29 @@
 
 TPU-native replacement for the reference's g2o assembly
 (SLAMEnd: LinearSolverCSparse -> BlockSolver_6_3 ->
-OptimizationAlgorithmLevenberg + Cauchy robust kernel,
-reference src/GraphicEnd.h:223-256) and SparseOptimizer::optimize
-(src/GraphicEnd.cpp:669-670, optimize_step=200).
+OptimizationAlgorithmLevenberg + robust kernel built by name from the
+factory, reference src/GraphicEnd.h:223-256) and
+SparseOptimizer::optimize (src/GraphicEnd.cpp:669-670, optimize_step=200).
 
 Re-architecture: edges are linearized in one vmapped batch (residual =
 se3_log(Zij^-1 Xi^-1 Xj), Jacobians by forward-mode autodiff of the local
-perturbation), Cauchy weights applied per edge, and the normal equations
-are scatter-assembled into a dense (6V,6V) system solved with one Cholesky
-— at SLAM scale (V ~ 10^2..10^3) the dense solve is a single MXU-friendly
-kernel, which beats sparse CSparse-style factorization on this hardware.
-Gauge fixing: `fixed` vertices get identity rows/cols (vertex 0 is fixed by
-the frontend, reference src/GraphicEnd.cpp:144).
+perturbation), robust weights applied per edge, and the damped normal
+equations are solved either:
+
+- densely ((6V,6V) Cholesky-style solve) for graphs up to
+  `_DENSE_VMAX` vertices — one MXU-friendly kernel, beats CSparse-style
+  sparse factorization at SLAM scale (V ~ 10^2); or
+- matrix-free, via preconditioned conjugate gradients on the
+  block-sparse operator (per-edge 6x6 blocks, never materializing H) —
+  the reference's architectural cap is 10k frames (src/const.h:25),
+  where the dense H would be ~14 GB; the CG operator is O(E) memory.
+
+Each LM iteration assembles the system exactly once (the candidate's
+evaluation is reused as the next iteration's system) and the loop exits
+early on a chi2 plateau, like g2o's terminate action.
+
+Gauge fixing: `fixed` vertices get identity rows/cols (vertex 0 is fixed
+by the frontend, reference src/GraphicEnd.cpp:144).
 
 Shapes are padded to capacity buckets so the jitted step recompiles only
 when the graph outgrows its bucket.
@@ -33,6 +44,16 @@ from ..io import g2o_io
 from ..ops import lie
 
 _HI = jax.lax.Precision.HIGHEST
+
+# robust-kernel codes (static arg to the jitted cores). The reference
+# builds the kernel by name from g2o's RobustKernelFactory
+# (src/GraphicEnd.h:245); an unknown name constructs nothing there, so
+# unknown maps to NONE here too.
+_KERNEL_NONE, _KERNEL_CAUCHY, _KERNEL_HUBER = 0, 1, 2
+_KERNELS = {"cauchy": _KERNEL_CAUCHY, "huber": _KERNEL_HUBER}
+
+# largest vertex bucket solved densely; above this the CG path runs
+_DENSE_VMAX = 512
 
 
 def _bucket(n: int, base: int = 16) -> int:
@@ -62,81 +83,186 @@ def _edge_jacobians(Ti, Tj, Zinv):
     return J[:, :6], J[:, 6:]
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "vcap"))
-def _optimize_padded(
+def _edge_terms(poses, e_i, e_j, e_Zinv, e_info, e_robust, e_valid,
+                kernel: int, delta: float):
+    """Batched linearization of every edge.
+
+    Returns (chi_total, Bii, Bjj, Bij, g_i, g_j) where B* are the
+    robust-weighted (E,6,6) normal-equation blocks and g_* the (E,6)
+    gradient contributions.
+    """
+    Ti = poses[e_i]
+    Tj = poses[e_j]
+    r = jax.vmap(_edge_residual)(Ti, Tj, e_Zinv)  # (E,6)
+    Jii, Jjj = jax.vmap(_edge_jacobians)(Ti, Tj, e_Zinv)
+    ir = jnp.einsum("eab,eb->ea", e_info, r, precision=_HI)
+    chi = jnp.sum(r * ir, axis=1)
+    if kernel == _KERNEL_CAUCHY:
+        # w = rho'(chi) = 1 / (1 + chi/delta^2)
+        wr = 1.0 / (1.0 + chi / (delta**2))
+    elif kernel == _KERNEL_HUBER:
+        # g2o Huber: rho' = 1 inside delta, delta/|e| outside
+        wr = jnp.where(chi <= delta**2, 1.0,
+                       delta / jnp.sqrt(jnp.maximum(chi, 1e-12)))
+    else:
+        wr = jnp.ones_like(chi)
+    w = jnp.where(e_robust, wr, 1.0)
+    w = jnp.where(e_valid, w, 0.0)
+    info_w = e_info * w[:, None, None]
+
+    Bii = jnp.einsum("eka,ekl,elb->eab", Jii, info_w, Jii, precision=_HI)
+    Bjj = jnp.einsum("eka,ekl,elb->eab", Jjj, info_w, Jjj, precision=_HI)
+    Bij = jnp.einsum("eka,ekl,elb->eab", Jii, info_w, Jjj, precision=_HI)
+    g_i = jnp.einsum("eka,ekl,el->ea", Jii, info_w, r, precision=_HI)
+    g_j = jnp.einsum("eka,ekl,el->ea", Jjj, info_w, r, precision=_HI)
+    chi_total = jnp.sum(jnp.where(e_valid, w * chi, 0.0))
+    return chi_total, Bii, Bjj, Bij, g_i, g_j
+
+
+def _lm_loop(system, solve, apply_delta, poses, n_iters: int,
+             rel_tol: float = 1e-8):
+    """Shared LM driver: ONE system assembly per iteration (the candidate
+    evaluation doubles as the accepted state's system) and early exit on
+    a chi2 plateau or a saturated damping factor (g2o terminates early
+    too; the reference's optimize_step=200 is a cap, not a count)."""
+    sys0 = system(poses)  # (chi, *system state)
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < n_iters) & ~done
+
+    def body(carry):
+        poses, sys_cur, lam, it, _ = carry
+        chi = sys_cur[0]
+        dx = solve(sys_cur, lam)
+        cand = apply_delta(poses, dx)
+        sys_new = system(cand)
+        chi_new = sys_new[0]
+        better = chi_new < chi
+        poses = jnp.where(better, cand, poses)
+        sys_cur = jax.tree.map(
+            lambda a, b: jnp.where(better, b, a), sys_cur, sys_new)
+        new_lam = jnp.where(better, jnp.maximum(lam * 0.5, 1e-8),
+                            jnp.minimum(lam * 4.0, 1e6))
+        rel = (chi - chi_new) / jnp.maximum(chi, 1e-12)
+        done = (better & (rel < rel_tol)) | (~better & (lam >= 1e6))
+        return poses, sys_cur, new_lam, it + 1, done
+
+    poses, sys_fin, _, it, _ = jax.lax.while_loop(
+        cond, body, (poses, sys0, jnp.float32(1e-4), jnp.int32(0),
+                     jnp.bool_(False)))
+    return poses, sys_fin[0], it
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "vcap", "kernel"))
+def _optimize_dense(
     poses, fixed, e_i, e_j, e_Zinv, e_info, e_robust, e_valid,
-    n_iters: int, vcap: int, cauchy_delta: float = 1.0,
+    n_iters: int, vcap: int, kernel: int, cauchy_delta: float = 1.0,
 ):
-    """LM loop over padded arrays. poses (Vc,4,4); edges padded to Ec."""
+    """LM with a dense (6V,6V) solve. poses (Vc,4,4); edges padded to Ec."""
+    free = ~fixed  # (Vc,)
+    fmask = jnp.repeat(free, 6)
 
-    def chi2_and_system(poses):
-        Ti = poses[e_i]
-        Tj = poses[e_j]
-        r = jax.vmap(_edge_residual)(Ti, Tj, e_Zinv)  # (E,6)
-        Jii, Jjj = jax.vmap(_edge_jacobians)(Ti, Tj, e_Zinv)
-        # chi2 per edge
-        ir = jnp.einsum("eab,eb->ea", e_info, r, precision=_HI)
-        chi = jnp.sum(r * ir, axis=1)
-        # Cauchy: w = rho'(chi) = 1 / (1 + chi/delta^2); non-robust edges w=1
-        w = jnp.where(e_robust, 1.0 / (1.0 + chi / (cauchy_delta**2)), 1.0)
-        w = jnp.where(e_valid, w, 0.0)
-        info_w = e_info * w[:, None, None]
-
-        JtIJ_ii = jnp.einsum("eka,ekl,elb->eab", Jii, info_w, Jii, precision=_HI)
-        JtIJ_jj = jnp.einsum("eka,ekl,elb->eab", Jjj, info_w, Jjj, precision=_HI)
-        JtIJ_ij = jnp.einsum("eka,ekl,elb->eab", Jii, info_w, Jjj, precision=_HI)
-        g_i = jnp.einsum("eka,ekl,el->ea", Jii, info_w, r, precision=_HI)
-        g_j = jnp.einsum("eka,ekl,el->ea", Jjj, info_w, r, precision=_HI)
-
+    def system(poses):
+        chi, Bii, Bjj, Bij, g_i, g_j = _edge_terms(
+            poses, e_i, e_j, e_Zinv, e_info, e_robust, e_valid,
+            kernel, cauchy_delta)
         H = jnp.zeros((vcap, vcap, 6, 6), poses.dtype)
-        H = H.at[e_i, e_i].add(JtIJ_ii)
-        H = H.at[e_j, e_j].add(JtIJ_jj)
-        H = H.at[e_i, e_j].add(JtIJ_ij)
-        H = H.at[e_j, e_i].add(jnp.swapaxes(JtIJ_ij, -1, -2))
+        H = H.at[e_i, e_i].add(Bii)
+        H = H.at[e_j, e_j].add(Bjj)
+        H = H.at[e_i, e_j].add(Bij)
+        H = H.at[e_j, e_i].add(jnp.swapaxes(Bij, -1, -2))
         g = jnp.zeros((vcap, 6), poses.dtype)
         g = g.at[e_i].add(g_i)
         g = g.at[e_j].add(g_j)
-        chi_total = jnp.sum(jnp.where(e_valid, w * chi, 0.0))
-        return chi_total, H, g
+        return chi, H, g
 
-    free = ~fixed  # (Vc,)
-
-    def apply_delta(poses, dx):
-        dx = dx.reshape(vcap, 6) * free[:, None]
-        return _mm(poses, lie.se3_exp(dx))
-
-    def solve(H, g, lam):
+    def solve(sys_cur, lam):
+        _, H, g = sys_cur
         # gauge fixing + padding: fixed/invalid vertices get identity blocks
-        Hd = H.reshape(vcap, vcap, 6, 6).transpose(0, 2, 1, 3).reshape(vcap * 6, vcap * 6)
+        Hd = H.transpose(0, 2, 1, 3).reshape(vcap * 6, vcap * 6)
         gd = g.reshape(-1)
-        fmask = jnp.repeat(free, 6)
         Hd = jnp.where(fmask[:, None] & fmask[None, :], Hd, 0.0)
         diag = jnp.arange(vcap * 6)
-        Hd = Hd.at[diag, diag].add(jnp.where(fmask, lam * (jnp.diagonal(Hd) + 1e-6), 1.0))
+        Hd = Hd.at[diag, diag].add(
+            jnp.where(fmask, lam * (jnp.diagonal(Hd) + 1e-6), 1.0))
         gd = jnp.where(fmask, gd, 0.0)
-        return jnp.linalg.solve(Hd, -gd)
+        return jnp.linalg.solve(Hd, -gd).reshape(vcap, 6)
 
-    def step(carry, _):
-        poses, lam = carry
-        chi, H, g = chi2_and_system(poses)
-        dx = solve(H, g, lam)
-        new_poses = apply_delta(poses, dx)
-        new_chi, _, _ = chi2_and_system(new_poses)
-        better = new_chi < chi
-        poses = jnp.where(better, new_poses, poses)
-        lam = jnp.where(better, jnp.maximum(lam * 0.5, 1e-8), jnp.minimum(lam * 4.0, 1e6))
-        return (poses, lam), chi
+    def apply_delta(poses, dx):
+        return _mm(poses, lie.se3_exp(dx * free[:, None]))
 
-    (poses, _), chis = jax.lax.scan(step, (poses, jnp.float32(1e-4)), None, length=n_iters)
-    final_chi, _, _ = chi2_and_system(poses)
-    return poses, final_chi, chis
+    return _lm_loop(system, solve, apply_delta, poses, n_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "vcap", "kernel"))
+def _optimize_cg(
+    poses, fixed, e_i, e_j, e_Zinv, e_info, e_robust, e_valid,
+    n_iters: int, vcap: int, kernel: int, cauchy_delta: float = 1.0,
+):
+    """LM with a matrix-free block-sparse CG solve: H is kept as per-edge
+    6x6 blocks and applied edge-wise (O(E) memory/matvec), so graphs far
+    beyond the dense bucket optimize without a (6V,6V) materialization
+    (SURVEY.md §2.2 g2o row "or via CG")."""
+    free = ~fixed  # (Vc,)
+
+    def system(poses):
+        chi, Bii, Bjj, Bij, g_i, g_j = _edge_terms(
+            poses, e_i, e_j, e_Zinv, e_info, e_robust, e_valid,
+            kernel, cauchy_delta)
+        g = jnp.zeros((vcap, 6), poses.dtype)
+        g = g.at[e_i].add(g_i)
+        g = g.at[e_j].add(g_j)
+        # block diagonal of H (Jacobi preconditioner + LM damping)
+        hdiag = jnp.zeros((vcap, 6), poses.dtype)
+        hdiag = hdiag.at[e_i].add(jnp.diagonal(Bii, axis1=-2, axis2=-1))
+        hdiag = hdiag.at[e_j].add(jnp.diagonal(Bjj, axis1=-2, axis2=-1))
+        return chi, (Bii, Bjj, Bij), g, hdiag
+
+    def solve(sys_cur, lam):
+        _, (Bii, Bjj, Bij), g, hdiag = sys_cur
+        damp = lam * (hdiag + 1e-6)
+
+        def matvec(x):
+            xm = x * free[:, None]
+            xi = xm[e_i]
+            xj = xm[e_j]
+            yi = (jnp.einsum("eab,eb->ea", Bii, xi, precision=_HI)
+                  + jnp.einsum("eab,eb->ea", Bij, xj, precision=_HI))
+            yj = (jnp.einsum("eba,eb->ea", Bij, xi, precision=_HI)
+                  + jnp.einsum("eab,eb->ea", Bjj, xj, precision=_HI))
+            y = jnp.zeros((vcap, 6), x.dtype)
+            y = y.at[e_i].add(yi)
+            y = y.at[e_j].add(yj)
+            y = y + damp * xm
+            # identity on fixed/padding coordinates (gauge fixing)
+            return jnp.where(free[:, None], y, x)
+
+        pre = 1.0 / jnp.where(free[:, None], hdiag + damp + 1e-6, 1.0)
+        b = jnp.where(free[:, None], -g, 0.0)
+        dx, _ = jax.scipy.sparse.linalg.cg(
+            matvec, b, M=lambda x: pre * x, maxiter=250, tol=1e-8)
+        return dx
+
+    def apply_delta(poses, dx):
+        return _mm(poses, lie.se3_exp(dx * free[:, None]))
+
+    return _lm_loop(system, solve, apply_delta, poses, n_iters)
 
 
 class PoseGraphOptimizer:
-    """Host wrapper: owns a g2o_io.Graph, runs the jitted LM core."""
+    """Host wrapper: owns a g2o_io.Graph, runs the jitted LM core.
 
-    def __init__(self, graph: Optional[g2o_io.Graph] = None):
+    robust_kernel: kernel name applied to edges added with robust=True
+    (config key `robust_kernel`, reference src/GraphicEnd.h:245 builds
+    it by name from the g2o factory — "Cauchy" default, "Huber"
+    supported, anything else constructs no kernel).
+    """
+
+    def __init__(self, graph: Optional[g2o_io.Graph] = None,
+                 robust_kernel: str = "Cauchy"):
         self.graph = graph if graph is not None else g2o_io.Graph()
+        self.robust_kernel = robust_kernel
 
     # --- graph building (g2o SparseOptimizer surface analog) ----------
     def add_vertex(self, vid: int, T: np.ndarray, fixed: bool = False):
@@ -155,11 +281,16 @@ class PoseGraphOptimizer:
         self.graph = g2o_io.load_g2o(path)
 
     # --- optimization ---------------------------------------------------
-    def optimize(self, n_iters: int = 200, dtype=jnp.float32, mesh=None) -> float:
+    def optimize(self, n_iters: int = 200, dtype=jnp.float32, mesh=None,
+                 solver: Optional[str] = None) -> float:
         """Run LM. With `mesh`, edge arrays are sharded over its "dp" axis
         and XLA partitions the batched linearization across devices,
         psum-reducing the scatter-assembled normal equations (the
-        multi-chip backend path, SURVEY.md §2.4 item 5)."""
+        multi-chip backend path, SURVEY.md §2.4 item 5).
+
+        solver: "dense" | "cg" | None (auto: dense up to _DENSE_VMAX
+        vertices, CG beyond).
+        """
         g = self.graph
         if not g.vertices or not g.edges:
             return 0.0
@@ -212,12 +343,18 @@ class PoseGraphOptimizer:
             dev_fixed = jax.device_put(dev_fixed, rep)
             edge_arrays = [jax.device_put(a, dp) for a in edge_arrays]
 
-        poses_out, final_chi, _ = _optimize_padded(
+        if solver is None:
+            solver = "dense" if vcap <= _DENSE_VMAX else "cg"
+        core = _optimize_dense if solver == "dense" else _optimize_cg
+        kernel = _KERNELS.get(str(self.robust_kernel).strip().lower(),
+                              _KERNEL_NONE)
+        poses_out, final_chi, _ = core(
             dev_poses,
             dev_fixed,
             *edge_arrays,
             n_iters=n_iters,
             vcap=vcap,
+            kernel=kernel,
         )
         poses_out = np.asarray(poses_out, dtype=np.float64)
         for k, vid in enumerate(ids):
@@ -231,14 +368,18 @@ class PoseGraphOptimizer:
 
 class SLAMEnd:
     """Reference-parity backend shell (src/GraphicEnd.h:226-256):
-    owns the global optimizer; `robust_kernel` config selects Cauchy
-    weighting on loop-closure edges."""
+    owns the global optimizer; init(graphic_end) reads the frontend's
+    `robust_kernel` config key and installs that kernel, mirroring the
+    factory construction at src/GraphicEnd.h:245."""
 
     def __init__(self):
         self.optimizer = PoseGraphOptimizer()
 
     def init(self, graphic_end=None):
         self.graphic_end = graphic_end
+        params = getattr(graphic_end, "params", None)
+        if params is not None:
+            self.optimizer.robust_kernel = params.GetPara("robust_kernel")
 
     @property
     def globalOptimizer(self) -> PoseGraphOptimizer:  # noqa: N802 (parity)

@@ -39,12 +39,15 @@ def error_angle(T: np.ndarray) -> float:
     return float(np.arccos(min(1.0, max(-1.0, (np.trace(T[:3, :3]) - 1.0) / 2.0))))
 
 
-def _load_cloud(path, z_max, grid_leaf):
+def _load_cloud(path, z_max, grid_leaf, cap):
+    """Load a PCD padded to one fixed capacity (both frames of a pair
+    share `cap` so the extract program compiles once); oversize clouds
+    are stride-decimated to fit."""
     xyz, _ = pcd_io.read_pcd(path)
     n = xyz.shape[0]
-    cap = 1024
-    while cap < n:
-        cap *= 2
+    if n > cap:
+        xyz = xyz[::-(-n // cap)]
+        n = xyz.shape[0]
     xyz_p = np.zeros((cap, 3), np.float32)
     xyz_p[:n] = xyz
     mask = np.zeros(cap, bool)
@@ -148,8 +151,9 @@ def main(argv=None) -> int:
         # z limit comes from optimize_step in the reference (config slip)
         z_max = params.get_float("optimize_step")
         grid = params.get_float("grid_leaf")
-        c1, m1 = _load_cloud(os.path.join(ds, f"pcd/{f1_idx}.pcd"), z_max, grid)
-        c2, m2 = _load_cloud(os.path.join(ds, f"pcd/{f2_idx}.pcd"), z_max, grid)
+        cap = params.get_int("cloud_capacity") or int(gray1.size)
+        c1, m1 = _load_cloud(os.path.join(ds, f"pcd/{f1_idx}.pcd"), z_max, grid, cap)
+        c2, m2 = _load_cloud(os.path.join(ds, f"pcd/{f2_idx}.pcd"), z_max, grid, cap)
         with open("./data/time.log", "a") as timelog:
             T, inliers = matching_planar(
                 gray1, dep1, c1, m1, gray2, dep2, c2, m2,

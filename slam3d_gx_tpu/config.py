@@ -106,6 +106,20 @@ DEFAULTS: Dict[str, str] = {
     # database ranked by descriptor-match score (parallel/lcdb.py);
     # 0 (default) = the reference's uniform random draws
     "loop_closure_scored": "0",
+    # fixed point capacity the raw cloud is padded to before the jitted
+    # extract (one shape per dataset, no per-frame re-jit; CLAUDE.md:
+    # remote compiles are 1-6 min per distinct shape). 0 = auto (H*W of
+    # the first frame). Larger clouds are stride-decimated to fit.
+    "cloud_capacity": "0",
+    # 1 = restore the reference's VoxelGrid(grid_leaf) downsample of the
+    # cloud before plane RANSAC (src/GraphicEnd.cpp:287-295); 0 (default)
+    # = the extractor's strided decimation, under which grid_leaf is
+    # inert in the plane path (it still drives saveOutput fusion).
+    "voxel_downsample_clouds": "0",
+    # plane coverage images: "membership" (analytic image-space test,
+    # TPU-native default) or "splat" (the reference's point splatting
+    # with depth-adaptive blocks, src/GraphicEnd.cpp:390-420)
+    "plane_image_mode": "membership",
 }
 
 # Intrinsics preset blocks the reference ships commented out

@@ -80,6 +80,9 @@ class GraphicEnd:
         self.max_kp = p.get_int("max_keypoints")
         self.hypotheses = p.get_int("ransac_hypotheses")
         self.seed = p.get_int("seed")
+        self.cloud_capacity = p.get_int("cloud_capacity")
+        self.voxel_downsample_clouds = p.get_bool("voxel_downsample_clouds")
+        self.plane_image_mode = p.GetPara("plane_image_mode")
 
         self.rgb_path, self.dep_path, self.pcl_path = tum.dataset_paths(
             p.GetPara("data_source")
@@ -113,6 +116,7 @@ class GraphicEnd:
             max_planes=self.max_planes, max_kp=self.max_kp,
             dist_thresh=self.distance_threshold, percent=self.percent,
             hypotheses=self.hypotheses,
+            plane_image_mode=self.plane_image_mode,
         )
         from ..ops.features import registry as feat_registry
 
@@ -233,22 +237,42 @@ class GraphicEnd:
                     os.path.join(self.dep_path, f"{self.index}.png"))
             xyz, _ = pcd.read_pcd(
                 os.path.join(self.pcl_path, f"{self.index}.pcd"))
-        # pad the raw cloud to a power-of-two bucket: per-frame point counts
-        # vary and would otherwise recompile the filter kernels every frame
+        # pad the raw cloud to ONE fixed capacity for the whole run:
+        # per-frame point counts vary, and any shape change re-jits the
+        # entire extract program (1-6 min per distinct shape on remote
+        # compile). Default capacity = H*W (clouds come from backprojecting
+        # the frame, so they can't exceed it); oversize clouds are
+        # stride-decimated to fit.
+        if not hasattr(self, "_cloud_cap"):
+            self._cloud_cap = (self.cloud_capacity if self.cloud_capacity > 0
+                               else int(gray.size))
+        cap = self._cloud_cap
         n = xyz.shape[0]
-        cap = 1024
-        while cap < n:
-            cap *= 2
+        if n > cap:
+            stride = -(-n // cap)  # ceil div
+            xyz = xyz[::stride]
+            n = xyz.shape[0]
         xyz_p = np.zeros((cap, 3), np.float32)
         xyz_p[:n] = xyz
         mask = np.zeros(cap, bool)
         mask[:n] = True
         # z passthrough (reference src/GraphicEnd.cpp:283-293); the
         # downsample-before-RANSAC role of the reference's VoxelGrid
-        # (287-295) is played by the extractor's strided decimation —
-        # an exact voxel grid needs a 300k-point sort, pathological on TPU
+        # (287-295) is played by the extractor's strided decimation by
+        # default, or by a real voxel grid when `voxel_downsample_clouds`
+        # is set (exact reference semantics, costs a device sort)
         xyz_j = jnp.asarray(xyz_p)
         mask_j = pointcloud.passthrough_z(xyz_j, jnp.asarray(mask), 0.0, self.z_filter)
+        if self.voxel_downsample_clouds:
+            # fixed voxel capacity sized to the extractor's point budget:
+            # voxel_downsample packs valid voxels to the front, so leaving
+            # the full-cap array would make the extractor's stride
+            # decimation discard most real voxels. 4x the budget keeps the
+            # residual stride at 4 (uniform over voxel-id order) while
+            # bounding truncation for small leaf sizes.
+            xyz_j, _, mask_j = pointcloud.voxel_downsample(
+                xyz_j, jnp.zeros_like(xyz_j), mask_j, self.grid_leaf,
+                capacity=min(cap, 4 * pipeline.PLANE_POINTS))
         self.curr_gray = jnp.asarray(gray)
         self.curr_depth = jnp.asarray(depth)
         self.curr_cloud = xyz_j
@@ -442,16 +466,19 @@ class GraphicEnd:
             # the whole round runs as ONE batched device launch
             # (parallel/registration.py; SURVEY.md §2.4 item 2)
             cand = nearby + checked
+            # record per-position, not by membership: an index in both
+            # nearby and checked gets its edge twice (reference parity —
+            # both loops add one) but is logged/connected exactly once
+            records = [False] * len(nearby) + [True] * len(checked)
             pairs = [(self.keyframes[i].features, self.curr_kf.features)
                      for i in cand]
             results = self.batch_registrar(
                 pairs, self.next_key(), self.loop_closure_inliers,
             )
-            for i, (T, norm, inl, ok) in zip(cand, results):
+            for i, record, (T, norm, inl, ok) in zip(cand, records, results):
                 if (not ok) or norm > self.loop_closure_error \
                         or inl < self.loop_closure_inliers:
                     continue
-                record = i in checked
                 if record:
                     self.display_lc(self.keyframes[i].frame_index,
                                     self.curr_kf.frame_index, norm, inl)

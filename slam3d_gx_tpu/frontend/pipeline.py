@@ -33,6 +33,11 @@ from ..ops import imageproc, lie, match, plane_ransac, pnp, pointcloud
 from ..ops.features import registry
 from .state import FrameFeatures, MultiPnPResult
 
+# point budget the plane-RANSAC stage decimates the cloud to (see
+# build_plane_extractor); exported so cloud producers (readimage's voxel
+# path) can size their fixed output capacity compatibly
+PLANE_POINTS = 8192
+
 
 # ---------------------------------------------------------------------------
 # 3D backprojection of keypoints
@@ -86,8 +91,9 @@ def build_plane_extractor(
     dist_thresh: float = 0.08,
     percent: float = 0.2,
     hypotheses: int = 256,
-    plane_points: int = 8192,
+    plane_points: int = PLANE_POINTS,
     z_max: float = 7.0,
+    plane_image_mode: str = "membership",
 ) -> Callable:
     """Returns jitted extract(gray, depth, cloud_xyz, cloud_mask, key)
     -> FrameFeatures with P=max_planes.
@@ -96,10 +102,18 @@ def build_plane_extractor(
     cloud (`plane_points` budget) — the reference's VoxelGrid served the
     same purpose (cheap uniform subsample before segmentation,
     src/GraphicEnd.cpp:287-295) but an exact voxel grid needs a 300k-point
-    sort, pathological on TPU. Plane coverage images are computed
-    analytically at full resolution (plane_membership_images), replacing
-    the reference's point splatting.
+    sort, pathological on TPU.
+
+    plane_image_mode selects how each plane's coverage image is built
+    (config key `plane_image_mode`): "membership" (default) computes it
+    analytically at full resolution from the plane equation;
+    "splat" reproduces the reference's point splatting with
+    depth-adaptive blocks (src/GraphicEnd.cpp:390-420) from the
+    decimated cloud's inlier sets — splat-vs-membership changes which
+    pixels each detector sees, hence the escape hatch.
     """
+    if plane_image_mode not in ("membership", "splat"):
+        raise ValueError(f"plane_image_mode: {plane_image_mode!r}")
     detect = registry.create_detector(detector_name, max_kp)
     describe = registry.create_descriptor(descriptor_name)
 
@@ -109,7 +123,7 @@ def build_plane_extractor(
         stride = max(1, n // plane_points)
         dxyz = cloud_xyz[::stride][:plane_points]
         dmask = cloud_mask[::stride][:plane_points]
-        coeffs, _, valids, _ = plane_ransac.extract_planes(
+        coeffs, plane_masks, valids, _ = plane_ransac.extract_planes(
             dxyz, dmask, key,
             max_planes=max_planes, dist_thresh=dist_thresh,
             percent=percent, hypotheses=hypotheses,
@@ -119,8 +133,18 @@ def build_plane_extractor(
             depth, intr.fx, intr.fy, intr.cx, intr.cy, intr.factor)
         z = xyz_img[..., 2]
         valid_img = valid_img & (z > 0) & (z <= z_max)
-        images, masks = imageproc.plane_membership_images(
-            xyz_img, valid_img, coeffs, valids, gray, dist_thresh)
+        if plane_image_mode == "splat":
+            H, W = gray.shape
+
+            def splat_one(pmask, pv):
+                return imageproc.splat_plane_image(
+                    dxyz, pmask & pv, gray, intr.fx, intr.fy,
+                    intr.cx, intr.cy, height=H, width=W)
+
+            images, masks = jax.vmap(splat_one)(plane_masks, valids)
+        else:
+            images, masks = imageproc.plane_membership_images(
+                xyz_img, valid_img, coeffs, valids, gray, dist_thresh)
 
         # all per-plane work is vmapped over the P axis: one kernel chain
         # instead of max_planes sequential copies (TPU launch count matters)

@@ -61,7 +61,8 @@ def _load():
         lib.slam3d_loader_create.restype = ctypes.c_void_p
         lib.slam3d_loader_create.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
         ]
         lib.slam3d_loader_next.restype = ctypes.c_int64
         lib.slam3d_loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
@@ -160,7 +161,7 @@ class PrefetchLoader:
         self._buf = np.empty((self.item_bytes,), np.uint8)
         self._handle = lib.slam3d_loader_create(
             blob, len(blob), len(paths), mode, self.item_bytes,
-            queue_depth, threads)
+            queue_depth, threads, width, height)
 
     def next(self):
         """Returns the decoded item, None on decode failure, raises

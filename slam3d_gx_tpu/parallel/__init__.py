@@ -12,9 +12,23 @@ design, not a port:
 - lcdb.py        : fixed-capacity keyframe database with sharded
                    descriptor matching — the "sequence parallel" analog:
                    the keyframe history is the sequence, queries broadcast
-                   over the ICI ring against sharded keyframe blocks;
-- posegraph.py   : edge-sharded pose-graph normal-equation assembly
-                   (psum-reduced) around the dense LM solve.
+                   over the ICI ring against sharded keyframe blocks.
+
+The pose-graph multi-chip path lives with the solver
+(backend/pose_graph.py): PoseGraphOptimizer.optimize(mesh=...) shards
+the edge batch over the "dp" axis — each device linearizes its shard
+and scatter-adds into the normal equations, which XLA psum-reduces
+before the (replicated) dense or matrix-free-CG solve.
+`optimize_sharded` below is the convenience entry point.
 """
 
-from . import lcdb, mesh, posegraph, registration  # noqa: F401
+from typing import Optional
+
+from . import lcdb, mesh, registration  # noqa: F401
+
+
+def optimize_sharded(opt, device_mesh, n_iters: int = 200,
+                     solver: Optional[str] = None) -> float:
+    """Run a PoseGraphOptimizer's LM loop with edges sharded over the
+    mesh's dp axis (see backend/pose_graph.py for the solver design)."""
+    return opt.optimize(n_iters=n_iters, mesh=device_mesh, solver=solver)

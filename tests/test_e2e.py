@@ -131,6 +131,32 @@ def test_planes_pipeline_e2e(dataset, tmp_path_factory):
     assert int(np.asarray(feats.plane_valid).sum()) >= 1
 
 
+def test_planes_pipeline_splat_and_voxel_knobs(dataset, tmp_path_factory):
+    """Escape hatches (CLAUDE.md conventions): plane_image_mode=splat
+    restores the reference's point splatting (src/GraphicEnd.cpp:390-420)
+    and voxel_downsample_clouds=1 restores its VoxelGrid(grid_leaf)
+    downsample before plane RANSAC (287-295). Both must track."""
+    from slam3d_gx_tpu.frontend import GraphicEnd
+
+    root, traj = dataset
+    datadir = str(tmp_path_factory.mktemp("data_splat"))
+    # splat coverage is patchier than the analytic membership images
+    # (it paints only where voxel points project), so this config needs
+    # the full keypoint budget to track reliably at test scale
+    ge = GraphicEnd(make_params(
+        root, plane_image_mode="splat", voxel_downsample_clouds=1,
+    ), data_dir=datadir)
+    slam = SLAMEnd()
+    ge.init(slam)
+    slam.init(ge)
+    for _ in range(3):
+        ge.run()
+    assert ge.lost == 0
+    feats = ge.keyframes[-1].features
+    assert int(np.asarray(feats.plane_valid).sum()) >= 1
+    assert int(np.asarray(feats.kp_valid).sum()) > 0
+
+
 def test_save_output_cli(imageonly_run):
     from slam3d_gx_tpu.cli import save_output
 

@@ -125,3 +125,52 @@ def test_prefetch_loader_bad_file(tmp_path):
                                       height=8, width=8)
     assert loader.next() is None
     loader.close()
+
+
+def test_prefetch_loader_rejects_format_mismatch(tmp_path):
+    """A file whose actual channels/bitdepth don't match the loader mode
+    must fail the item (status 2 -> None), not decode past the slot."""
+    from PIL import Image
+    rng = np.random.default_rng(5)
+    depth16 = rng.integers(0, 60000, (16, 16), dtype=np.uint16)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    ga = rng.integers(0, 256, (16, 16, 2), dtype=np.uint8)  # gray+alpha
+    p16 = str(tmp_path / "d.png")
+    prgb = str(tmp_path / "c.png")
+    pga = str(tmp_path / "ga.png")
+    Image.fromarray(depth16).save(p16)
+    Image.fromarray(rgb).save(prgb)
+    Image.fromarray(ga, mode="LA").save(pga)
+
+    # 16-bit and gray+alpha under GRAY8 -> rejected; RGB is fine (to_gray)
+    loader = native_io.PrefetchLoader(
+        [p16, pga, prgb], native_io.MODE_GRAY8, height=16, width=16)
+    assert loader.next() is None
+    assert loader.next() is None
+    assert loader.next() is not None
+    loader.close()
+
+    # 8-bit RGB under DEPTH16 -> rejected
+    loader = native_io.PrefetchLoader(
+        [prgb, p16], native_io.MODE_DEPTH16, height=16, width=16)
+    assert loader.next() is None
+    np.testing.assert_array_equal(loader.next(), depth16)
+    loader.close()
+
+
+def test_prefetch_loader_rejects_dim_mismatch(tmp_path):
+    """A differently-sized frame must fail its item instead of being
+    silently reshaped into garbage by the consumer."""
+    from PIL import Image
+    rng = np.random.default_rng(6)
+    good = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    small = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    pg = str(tmp_path / "g.png")
+    ps = str(tmp_path / "s.png")
+    Image.fromarray(good).save(pg)
+    Image.fromarray(small).save(ps)
+    loader = native_io.PrefetchLoader(
+        [ps, pg], native_io.MODE_GRAY8, height=16, width=16)
+    assert loader.next() is None
+    np.testing.assert_array_equal(loader.next(), good)
+    loader.close()

@@ -10,7 +10,7 @@ from slam3d_gx_tpu.backend.pose_graph import PoseGraphOptimizer
 from slam3d_gx_tpu.frontend import pipeline
 from slam3d_gx_tpu.frontend.state import FrameFeatures
 from slam3d_gx_tpu.geometry import se3
-from slam3d_gx_tpu.parallel import lcdb, mesh as mesh_mod, posegraph, registration
+from slam3d_gx_tpu.parallel import lcdb, mesh as mesh_mod, optimize_sharded, registration
 
 INTR = CameraIntrinsics(fx=517.0, fy=517.0, cx=318.6, cy=255.3, factor=5000.0)
 
@@ -177,7 +177,7 @@ def test_posegraph_sharded_matches_dense():
     opt_a, gt = _ring_graph()
     opt_b, _ = _ring_graph()
     chi_a = opt_a.optimize(n_iters=15)
-    chi_b = posegraph.optimize_sharded(opt_b, m, n_iters=15)
+    chi_b = optimize_sharded(opt_b, m, n_iters=15)
     assert chi_b <= chi_a * 1.5 + 1e-3
     for i in range(len(gt)):
         ta = opt_a.vertex_estimate(i)[:3, 3]
