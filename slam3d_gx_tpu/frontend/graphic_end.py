@@ -153,12 +153,14 @@ class GraphicEnd:
         if self.params.get_int("loop_closure_scored") == 0:
             return
         if self.lcdb is None:
+            from ..ops.features import registry as feat_registry
             from ..parallel.lcdb import KeyframeDatabase
 
             f = kf.features
             self.lcdb = KeyframeDatabase(
                 n_desc=f.desc.shape[0] * f.desc.shape[1],
-                dim=f.desc.shape[2])
+                dim=f.desc.shape[2],
+                match_floor=feat_registry.match_floor(self.descriptor_name))
         self.lcdb.add(kf.features)
 
     # -- prefetch ------------------------------------------------------------

@@ -47,27 +47,30 @@ def _flatten(f: FrameFeatures):
     return desc, valid
 
 
-def _score_one(db_desc, db_valid, q_desc, q_valid):
+def _score_one(db_desc, db_valid, q_desc, q_valid, floor):
     """Retrieval score of query against one db keyframe.
 
     Primary term mirrors the frontend matcher (NN in db per query kp +
-    the 3*min_dist gate, ops/match.py, reference src/GraphicEnd.cpp:
-    486-520); the reference filter is deliberately loose, so a
+    the 3*min_dist gate with the descriptor-dependent `floor`,
+    ops/match.py + features/registry.match_floor, reference
+    src/GraphicEnd.cpp:486-520); without the floor a single exact
+    binary-descriptor match collapses the bound and the score
+    degenerates. The reference filter is deliberately loose, so a
     mean-NN-distance tiebreak (bounded to (0,1]) ranks frames with equal
     good counts by how well their descriptors actually agree.
     """
     _, dist, ok = match.match_nn(q_desc, q_valid, db_desc, db_valid)
-    good = match.good_match_filter(dist, ok)
+    good = match.good_match_filter(dist, ok, floor=floor)
     n_ok = jnp.maximum(jnp.sum(ok), 1)
     mean_dist = jnp.sum(jnp.where(ok, dist, 0.0)) / n_ok
     return jnp.sum(good).astype(jnp.float32) + 1.0 / (1.0 + mean_dist)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def score_block(db_desc, db_valid, q_desc, q_valid):
+@jax.jit
+def score_block(db_desc, db_valid, q_desc, q_valid, floor):
     """(Cb, N, D) x (N_q, D) -> (Cb,) f32 retrieval scores."""
-    return jax.vmap(_score_one, in_axes=(0, 0, None, None))(
-        db_desc, db_valid, q_desc, q_valid
+    return jax.vmap(_score_one, in_axes=(0, 0, None, None, None))(
+        db_desc, db_valid, q_desc, q_valid, floor
     )
 
 
@@ -80,11 +83,12 @@ class KeyframeDatabase:
     """
 
     def __init__(self, n_desc: int, dim: int, capacity: int = 64,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, match_floor: float = 0.0):
         self.mesh = mesh
         self.sp = mesh.shape[mesh_mod.SP_AXIS] if mesh is not None else 1
         self.n_desc = n_desc
         self.dim = dim
+        self.match_floor = float(match_floor)
         self.count = 0
         self.capacity = mesh_mod.pad_to_multiple(capacity, self.sp)
         self._sharding = (
@@ -145,7 +149,8 @@ class KeyframeDatabase:
         if self.count == 0:
             return np.zeros((0,), np.float32)
         qd, qv = _flatten(query)
-        s = score_block(self.desc, self.valid, qd, qv)
+        s = score_block(self.desc, self.valid, qd, qv,
+                        jnp.float32(self.match_floor))
         return np.asarray(s)[: self.count]
 
     def top_candidates(self, query: FrameFeatures, n: int,

@@ -133,6 +133,49 @@ def test_lcdb_scores_and_top():
     assert all(t < 7 for t in top)  # newest 3 excluded
 
 
+def test_lcdb_orb_floor_fixes_binary_degeneracy():
+    """Scored retrieval with binary (ORB-style) descriptors: one exact
+    duplicate descriptor collapses the 3*min_dist bound to zero, so the
+    true-revisit frame scores ~1 without the floor. With the
+    registry.match_floor threading (VERDICT r1 #9) it scores ~all kp."""
+    from slam3d_gx_tpu.ops.features import registry
+
+    rng = np.random.default_rng(17)
+    k, d = 64, 32
+    # ORB-style: small-integer L2 distances (sqrt-Hamming scale)
+    q_desc = rng.integers(0, 2, (k, d)).astype(np.float32) * 8
+    near = q_desc.copy()
+    near[1:] += rng.normal(0, 0.4, (k - 1, d)).astype(np.float32)  # dist ~2-3
+    far = rng.integers(0, 2, (k, d)).astype(np.float32) * 8
+
+    def feats(desc):
+        return FrameFeatures(
+            coeffs=jnp.zeros((1, 4), jnp.float32),
+            plane_valid=jnp.ones((1,), bool),
+            uv=jnp.zeros((1, k, 2), jnp.float32),
+            kp3d=jnp.zeros((1, k, 3), jnp.float32),
+            desc=jnp.asarray(desc)[None],
+            kp_valid=jnp.ones((1, k), bool),
+        )
+
+    floor = registry.match_floor("ORB")
+    assert floor > 0.0
+    db = lcdb.KeyframeDatabase(n_desc=k, dim=d, capacity=8,
+                               match_floor=floor)
+    db.add(feats(near))
+    db.add(feats(far))
+    s = db.scores(feats(q_desc))
+    # the near-duplicate frame must score nearly all keypoints despite
+    # the exact row-0 match; without the floor it degenerates to ~1
+    assert s[0] > 0.8 * k, s
+    assert s[0] > s[1]
+
+    db_nofloor = lcdb.KeyframeDatabase(n_desc=k, dim=d, capacity=8)
+    db_nofloor.add(feats(near))
+    s0 = db_nofloor.scores(feats(q_desc))
+    assert s0[0] < 3, s0  # demonstrates the degeneracy being fixed
+
+
 def test_lcdb_unsharded_equivalence():
     rng = np.random.default_rng(13)
     m = _mesh2d()
