@@ -4,10 +4,13 @@ Parity surface: cv::FeatureDetector::create / DescriptorExtractor::create
 (reference src/GraphicEnd.cpp:63-65). Name mapping:
 
   SIFT     -> DoG detector / SIFT descriptor (the parity defaults)
-  SURF     -> fast-Hessian box-filter detector (surf.py) / SIFT
-              descriptor (128-d oriented gradients, a quality superset
-              of SURF's 64-d Haar sums; accuracy contract is
-              trajectory-level)
+  SURF     -> fast-Hessian box-filter detector (surf.py) / real SURF-64
+              descriptor (surf_desc.py: Haar-response sums over oriented
+              4x4 subregions, unit-norm like cv::SURF). The name
+              SURF_SIFT selects the 128-d SIFT descriptor on SURF
+              keypoints instead (documented fallback: a quality superset
+              of the 64-d Haar sums when descriptor power matters more
+              than parity)
   GFTT     -> Shi-Tomasi; HARRIS -> Harris
   FAST     -> FAST-9/16; GridFAST -> grid-budgeted FAST
   STAR     -> CenSurE bi-level center-surround detector (star.py)
@@ -71,8 +74,12 @@ def create_detector(name: str, max_kp: int = 512,
 def create_descriptor(name: str):
     """Returns describe(img, kps) -> (K,D) float32 descriptors."""
     key = name.strip().upper()
-    if key in ("SIFT", "SURF"):
+    if key in ("SIFT", "SURF_SIFT", "SURF-SIFT"):
         return sift_desc.sift_descriptors
+    if key == "SURF":
+        from . import surf_desc
+
+        return surf_desc.surf_descriptors
     if key in ("ORB", "BRIEF"):
         return orb.orb_descriptors
     raise ValueError(f"unknown descriptor name: {name!r}")
