@@ -157,6 +157,40 @@ def test_planes_pipeline_splat_and_voxel_knobs(dataset, tmp_path_factory):
     assert int(np.asarray(feats.kp_valid).sum()) > 0
 
 
+def test_exp1_cli_visual_artifacts(dataset, tmp_path, monkeypatch):
+    """exp1 emits headless PNGs for the reference's imshow windows
+    (exp1.cpp:388,580,678-682): plane images + per-plane match/inlier
+    match images in `p` mode, match/inlier images in `n` mode."""
+    from slam3d_gx_tpu.cli import exp1
+
+    root, traj = dataset
+    monkeypatch.chdir(tmp_path)
+    with open("parameters.yaml", "w") as f:
+        for k, v in dict(
+            data_source=root, detector_name="GFTT", descriptor_name="SIFT",
+            camera_fx=INTR.fx, camera_fy=INTR.fy, camera_cx=INTR.cx,
+            camera_cy=INTR.cy, camera_factor=INTR.factor,
+            max_keypoints=128, ransac_hypotheses=64, end_index=100,
+        ).items():
+            f.write(f"{k}: {v}\n")
+    assert exp1.main(["1", "2", "GFTT", "SIFT", "p"]) == 0
+    assert os.path.exists("data/exp1/plane_1_0.png")
+    assert os.path.exists("data/exp1/plane_2_0.png")
+    assert os.path.exists("data/exp1/plane_match_1_2_0.png")
+    assert os.path.exists("data/exp1/plane_inliers_1_2_0.png")
+    assert exp1.main(["1", "2", "GFTT", "SIFT", "n"]) == 0
+    assert os.path.exists("data/exp1/match_1_2.png")
+    assert os.path.exists("data/exp1/inliers_1_2.png")
+    # error.log carries one row per run, exp1_2 schema
+    rows = open("data/exp1/error.log").read().strip().splitlines()
+    assert len(rows) == 2 and all(len(r.split()) == 7 for r in rows)
+    # the match canvas is the two 320px frames side by side and non-empty
+    from slam3d_gx_tpu.io import images as img_io
+    m = img_io.load_gray("data/exp1/plane_match_1_2_0.png")
+    assert m.shape == (240, 640)
+    assert int((m > 0).sum()) > 100
+
+
 def test_save_output_cli(imageonly_run):
     from slam3d_gx_tpu.cli import save_output
 
