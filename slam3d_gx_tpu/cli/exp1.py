@@ -125,10 +125,11 @@ def main(argv=None) -> int:
         z_max = params.get_float("optimize_step")  # reference config slip
         grid = params.get_float("grid_leaf")
         cap = params.get_int("cloud_capacity") or int(gray1.size)
+        align = params.get_bool("align_cloud_scale")
         c1, m1 = _load_cloud(os.path.join(ds, f"pcd/{f1_idx}.pcd"),
-                             z_max, grid, cap)
+                             z_max, grid, cap, dep1, intr, align)
         c2, m2 = _load_cloud(os.path.join(ds, f"pcd/{f2_idx}.pcd"),
-                             z_max, grid, cap)
+                             z_max, grid, cap, dep2, intr, align)
         extract = pipeline.build_plane_extractor(
             detector, descriptor, intr,
             max_planes=params.get_int("max_planes"), max_kp=max_kp,

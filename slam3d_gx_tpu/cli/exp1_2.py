@@ -39,11 +39,19 @@ def error_angle(T: np.ndarray) -> float:
     return float(np.arccos(min(1.0, max(-1.0, (np.trace(T[:3, :3]) - 1.0) / 2.0))))
 
 
-def _load_cloud(path, z_max, grid_leaf, cap):
+def _load_cloud(path, z_max, grid_leaf, cap, depth=None, intr=None,
+                align_scale=True):
     """Load a PCD padded to one fixed capacity (both frames of a pair
     share `cap` so the extract program compiles once); oversize clouds
-    are stride-decimated to fit."""
+    are stride-decimated to fit. With depth+intr, clouds in a different
+    depth-unit system are rescaled into depth units (config knob
+    `align_cloud_scale`; see ops/pointcloud.estimate_depth_scale)."""
     xyz, _ = pcd_io.read_pcd(path)
+    if align_scale and depth is not None and intr is not None:
+        s = pointcloud.estimate_depth_scale(
+            xyz, depth, intr.fx, intr.fy, intr.cx, intr.cy, intr.factor)
+        if s > 1.5 or s < 1 / 1.5:
+            xyz = xyz / np.float32(s)
     n = xyz.shape[0]
     if n > cap:
         xyz = xyz[::-(-n // cap)]
@@ -152,8 +160,11 @@ def main(argv=None) -> int:
         z_max = params.get_float("optimize_step")
         grid = params.get_float("grid_leaf")
         cap = params.get_int("cloud_capacity") or int(gray1.size)
-        c1, m1 = _load_cloud(os.path.join(ds, f"pcd/{f1_idx}.pcd"), z_max, grid, cap)
-        c2, m2 = _load_cloud(os.path.join(ds, f"pcd/{f2_idx}.pcd"), z_max, grid, cap)
+        align = params.get_bool("align_cloud_scale")
+        c1, m1 = _load_cloud(os.path.join(ds, f"pcd/{f1_idx}.pcd"), z_max,
+                             grid, cap, dep1, intr, align)
+        c2, m2 = _load_cloud(os.path.join(ds, f"pcd/{f2_idx}.pcd"), z_max,
+                             grid, cap, dep2, intr, align)
         with open("./data/time.log", "a") as timelog:
             T, inliers = matching_planar(
                 gray1, dep1, c1, m1, gray2, dep2, c2, m2,

@@ -120,6 +120,12 @@ DEFAULTS: Dict[str, str] = {
     # TPU-native default) or "splat" (the reference's point splatting
     # with depth-adaptive blocks, src/GraphicEnd.cpp:390-420)
     "plane_image_mode": "membership",
+    # 1 (default) = rescale loaded PCD clouds into depth units when the
+    # two disagree by >1.5x (the reference's convert2PCD writes
+    # factor-1000 clouds while the fr1 preset reads depth at 5000 and
+    # silently mixes the unit systems, src/convert2PCD.cpp:19-23 vs
+    # parameters.yaml:86); 0 = raw reference behavior
+    "align_cloud_scale": "1",
 }
 
 # Intrinsics preset blocks the reference ships commented out

@@ -83,6 +83,7 @@ class GraphicEnd:
         self.cloud_capacity = p.get_int("cloud_capacity")
         self.voxel_downsample_clouds = p.get_bool("voxel_downsample_clouds")
         self.plane_image_mode = p.GetPara("plane_image_mode")
+        self.align_cloud_scale = p.get_bool("align_cloud_scale")
 
         self.rgb_path, self.dep_path, self.pcl_path = tum.dataset_paths(
             p.GetPara("data_source")
@@ -239,6 +240,16 @@ class GraphicEnd:
                     os.path.join(self.dep_path, f"{self.index}.png"))
             xyz, _ = pcd.read_pcd(
                 os.path.join(self.pcl_path, f"{self.index}.pcd"))
+        # PCD clouds may live in a different depth-unit system than the
+        # depth image (reference convert2PCD factor-1000 vs fr1's 5000;
+        # see ops/pointcloud.estimate_depth_scale) — align them so the
+        # membership images and kp3d stay consistent in depth units
+        if self.align_cloud_scale:
+            s = pointcloud.estimate_depth_scale(
+                xyz, depth, self.intr.fx, self.intr.fy, self.intr.cx,
+                self.intr.cy, self.intr.factor)
+            if s > 1.5 or s < 1 / 1.5:
+                xyz = xyz / np.float32(s)
         # pad the raw cloud to ONE fixed capacity for the whole run:
         # per-frame point counts vary, and any shape change re-jits the
         # entire extract program (1-6 min per distinct shape on remote

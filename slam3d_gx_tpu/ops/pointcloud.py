@@ -136,3 +136,38 @@ def compact(xyz, mask, *extras):
     outs = [np.asarray(xyz)[m]]
     outs.extend(np.asarray(e)[m] for e in extras)
     return outs[0] if not extras else tuple(outs)
+
+
+def estimate_depth_scale(xyz, depth, fx, fy, cx, cy, factor,
+                         stride: int = 8, min_samples: int = 100):
+    """Host helper: median ratio between a PCD cloud's z and the depth
+    image's z at the pixels the cloud points project to.
+
+    The reference's dataset tools disagree on the depth factor —
+    convert2PCD hardcodes 1000 (src/convert2PCD.cpp:19-23) while the
+    active fr1 yaml preset uses 5000 — and the reference silently mixes
+    the two unit systems (its plane-image splat is projectively
+    invariant, so it never notices; compute3dPosition's plane-ray
+    fallback at src/GraphicEnd.cpp:440-450 does mix them). Returns the
+    scale s with cloud_z ~ s * depth_z, or 1.0 when there aren't enough
+    co-visible samples to tell.
+    """
+    import numpy as np
+
+    xyz = np.asarray(xyz)[::stride]
+    depth = np.asarray(depth)
+    H, W = depth.shape
+    z = xyz[:, 2]
+    ok = z > 1e-6
+    zs = np.where(ok, z, 1.0)
+    u = np.round(xyz[:, 0] * fx / zs + cx).astype(int)
+    v = np.round(xyz[:, 1] * fy / zs + cy).astype(int)
+    inb = ok & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    if inb.sum() < min_samples:
+        return 1.0
+    zd = depth[v[inb], u[inb]].astype(np.float64) / factor
+    zc = z[inb]
+    sel = zd > 1e-6
+    if sel.sum() < min_samples:
+        return 1.0
+    return float(np.median(zc[sel] / zd[sel]))

@@ -1,0 +1,110 @@
+"""End-to-end validation on the reference's real Kinect imagery.
+
+The reference ships one real frame pair (data/exp1/ rgb 1759/1768 +
+dep + pcd, ~9 frames apart on a TUM fr1-era sequence) and a single
+frame at bin/rgb_1.png — the only non-synthetic fixtures available.
+These fixtures predate the fr1 yaml preset: their depth factor is
+convert2PCD's hardcoded 1000 with 525/319.5/235.5 intrinsics
+(src/convert2PCD.cpp:19-23), which is also why align_cloud_scale
+exists (the PCDs and a factor-5000 reading of the depth images are 5x
+apart; the reference silently mixes the two unit systems).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from slam3d_gx_tpu.config import CameraIntrinsics
+from slam3d_gx_tpu.io import images
+from slam3d_gx_tpu.frontend import pipeline
+from slam3d_gx_tpu.cli.exp1_2 import _load_cloud
+
+INTR = CameraIntrinsics(fx=525.0, fy=525.0, cx=319.5, cy=235.5,
+                        factor=1000.0)
+
+
+@pytest.fixture(scope="module")
+def real_pair(reference_dir):
+    base = os.path.join(reference_dir, "data", "exp1")
+    g1 = images.load_gray(os.path.join(base, "rgb", "1759.png"))
+    g2 = images.load_gray(os.path.join(base, "rgb", "1768.png"))
+    d1 = images.load_depth(os.path.join(base, "dep", "1.png"))
+    d2 = images.load_depth(os.path.join(base, "dep", "2.png"))
+    cap = int(g1.size)
+    c1, m1 = _load_cloud(os.path.join(base, "pcd", "1.pcd"), 7.0, 0.03,
+                         cap, d1, INTR)
+    c2, m2 = _load_cloud(os.path.join(base, "pcd", "2.pcd"), 7.0, 0.03,
+                         cap, d2, INTR)
+    return (g1, d1, c1, m1), (g2, d2, c2, m2)
+
+
+def _register(real_pair, detector):
+    (g1, d1, c1, m1), (g2, d2, c2, m2) = real_pair
+    ex = pipeline.build_plane_extractor(
+        detector, "SIFT", INTR, max_kp=256, hypotheses=128)
+    mp = pipeline.build_multipnp_planes(INTR, error_threshold=1e9,
+                                        hypotheses=128)
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    fa = ex(jnp.asarray(g1, jnp.float32), jnp.asarray(d1, jnp.float32),
+            c1, m1, k[0])
+    fb = ex(jnp.asarray(g2, jnp.float32), jnp.asarray(d2, jnp.float32),
+            c2, m2, k[1])
+    res = mp(fa, fb, k[2], 0)
+    return fa, fb, res
+
+
+def test_planes_and_registration_on_real_pair(real_pair):
+    """Plane extraction finds the room structure and multiPnP registers
+    the 9-frame-apart pair with a healthy inlier pool on real data."""
+    fa, fb, res = _register(real_pair, "GFTT")
+    assert int(np.asarray(fa.plane_valid).sum()) >= 2
+    assert int(np.asarray(fb.plane_valid).sum()) >= 2
+    assert int(np.asarray(fa.kp_valid).sum()) > 200
+    assert int(res.inliers) >= 30, int(res.inliers)
+    t = np.asarray(res.T)[:3, 3]
+    assert np.linalg.norm(t) < 0.5  # physically plausible 9-frame motion
+
+
+def test_detectors_agree_on_real_pair(real_pair):
+    """SIFT and GFTT frontends must estimate the same motion — a
+    cross-detector consistency oracle that needs no ground truth."""
+    _, _, r_sift = _register(real_pair, "SIFT")
+    _, _, r_gftt = _register(real_pair, "GFTT")
+    assert int(r_sift.inliers) >= 20
+    t1 = np.asarray(r_sift.T)[:3, 3]
+    t2 = np.asarray(r_gftt.T)[:3, 3]
+    assert np.linalg.norm(t1 - t2) < 0.05, (t1, t2)
+
+
+def test_planar_features_on_real_frame(reference_dir):
+    """planarFeatures classifies FAST keypoints on the shipped Kinect
+    frame (reference src/planarFeatures.cpp demo input bin/rgb_1.png)."""
+    from slam3d_gx_tpu.cli.planar_features import classify_planar
+
+    gray = images.load_gray(os.path.join(reference_dir, "bin", "rgb_1.png"))
+    depth = images.load_depth(os.path.join(reference_dir, "bin", "dep_1.png"))
+    kps, planar = classify_planar(gray, depth, INTR)
+    n_kp = int(np.asarray(kps.valid).sum())
+    n_planar = int(np.asarray(planar).sum())
+    assert n_kp >= 20
+    assert 0 < n_planar <= n_kp
+
+
+def test_scale_alignment_detects_factor_mismatch(reference_dir):
+    """Reading the same fixtures with the fr1 preset (factor 5000) must
+    report the 5x cloud/depth scale mismatch."""
+    from slam3d_gx_tpu.io import pcd
+    from slam3d_gx_tpu.ops import pointcloud
+
+    base = os.path.join(reference_dir, "data", "exp1")
+    xyz, _ = pcd.read_pcd(os.path.join(base, "pcd", "1.pcd"))
+    depth = images.load_depth(os.path.join(base, "dep", "1.png"))
+    s = pointcloud.estimate_depth_scale(
+        xyz, depth, 517.0, 517.0, 318.6, 255.3, 5000.0)
+    assert 4.0 < s < 6.0, s
+    s1 = pointcloud.estimate_depth_scale(
+        xyz, depth, INTR.fx, INTR.fy, INTR.cx, INTR.cy, INTR.factor)
+    assert 0.9 < s1 < 1.1, s1
