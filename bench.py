@@ -30,9 +30,64 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# v5e peak dense bf16 matmul throughput (the MXU roofline anchor)
+PEAK_FLOPS_BF16 = 197e12
+PEAK_HBM_BPS = 819e9
+
+
+def flops_model(h, w, detector, max_kp, hypotheses, n_planes,
+                desc_dim=128, plane_points=8192, detect_scope="frame"):
+    """Analytic per-frame FLOPs of the dominant frontend stages — a
+    lower bound of useful work for the MFU estimate (elementwise
+    bookkeeping and layout ops excluded).
+
+    SLAM frontends are latency/bandwidth-bound, not matmul-bound; the
+    MFU number exists to anchor the FPS claim on the roofline, not to
+    look good.
+    """
+    px = h * w
+    f = 0.0
+    f += px * 12                                  # backproject + z-filter
+    f += n_planes * 8 * hypotheses * plane_points  # RANSAC score matmuls
+    f += px * n_planes * 8                        # membership images
+    det_mult = 1 if detect_scope == "frame" else n_planes
+    if detector.upper() == "SIFT":
+        f += det_mult * 134 * 2 * px * 1.33       # DoG pyramid convs
+        f += det_mult * px * 60                   # extrema + refine
+    else:
+        f += det_mult * px * 60                   # response stencils
+    f += det_mult * max_kp * 3.0e5                # SIFT descriptor chain
+    f += n_planes * max_kp * max_kp * desc_dim * 2  # NN match matmuls
+    f += (n_planes + 2) * hypotheses * max_kp * 60  # PnP reproject scores
+    return f
+
+
+def enable_compile_cache(jax):
+    """Persistent compile cache keyed on the exact platform build.
+
+    Round 1 disabled this after a SIGILL from loading an AOT executable
+    compiled on a different machine; keying the cache directory on the
+    backend's platform_version (libtpu build string / CPU client
+    version) makes entries unloadable across toolchain changes instead
+    of silently wrong. Opt out with BENCH_NO_CACHE=1.
+    """
+    if os.environ.get("BENCH_NO_CACHE"):
+        return
+    import hashlib
+
+    ver = jax.devices()[0].client.platform_version
+    key = hashlib.sha1(ver.encode()).hexdigest()[:12]
+    path = f"/tmp/slam3d_xla_cache_{jax.default_backend()}_{key}"
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    log(f"compile cache: {path}")
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
+
+    enable_compile_cache(jax)
 
     from slam3d_gx_tpu.config import CameraIntrinsics
     from slam3d_gx_tpu.frontend import pipeline
@@ -131,11 +186,20 @@ def main() -> int:
     log(f"{n_timed} frames in {dt:.2f}s -> {fps:.2f} FPS; "
         f"sample inlier counts {inliers}")
 
+    gflops = flops_model(h, w, detector, max_kp, hypotheses, n_planes) / 1e9
+    mfu = gflops * 1e9 * fps / PEAK_FLOPS_BF16
+    log(f"flops model: {gflops:.2f} GFLOP/frame -> "
+        f"{gflops * fps:.0f} GFLOP/s, MFU {mfu * 100:.3f}% "
+        f"(latency-bound workload; roofline anchor, not a target)")
+
     print(json.dumps({
         "metric": "frontend_fps_640x480",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "detector": detector,
+        "model_gflops_per_frame": round(gflops, 3),
+        "mfu": round(mfu, 6),
     }))
     return 0
 

@@ -120,6 +120,16 @@ DEFAULTS: Dict[str, str] = {
     # TPU-native default) or "splat" (the reference's point splatting
     # with depth-adaptive blocks, src/GraphicEnd.cpp:390-420)
     "plane_image_mode": "membership",
+    # global detection budget for detect_scope=frame; 0 (default) =
+    # max_keypoints shared across planes (fastest, quality-validated);
+    # set max_planes*max_keypoints for per-plane budget parity
+    "frame_kp_budget": "0",
+    # "frame" (TPU-native default) = equalize/detect/describe once per
+    # frame and assign keypoints to planes by coverage membership (one
+    # scale-space pyramid instead of max_planes); "plane" = the
+    # reference's per-plane equalizeHist + masked detection
+    # (src/GraphicEnd.cpp:128-134), ~3x the detector/descriptor work
+    "detect_scope": "frame",
     # 1 (default) = rescale loaded PCD clouds into depth units when the
     # two disagree by >1.5x (the reference's convert2PCD writes
     # factor-1000 clouds while the fr1 preset reads depth at 5000 and

@@ -83,6 +83,8 @@ class GraphicEnd:
         self.cloud_capacity = p.get_int("cloud_capacity")
         self.voxel_downsample_clouds = p.get_bool("voxel_downsample_clouds")
         self.plane_image_mode = p.GetPara("plane_image_mode")
+        self.detect_scope = p.GetPara("detect_scope")
+        self.frame_kp_budget = p.get_int("frame_kp_budget")
         self.align_cloud_scale = p.get_bool("align_cloud_scale")
 
         self.rgb_path, self.dep_path, self.pcl_path = tum.dataset_paths(
@@ -118,6 +120,8 @@ class GraphicEnd:
             dist_thresh=self.distance_threshold, percent=self.percent,
             hypotheses=self.hypotheses,
             plane_image_mode=self.plane_image_mode,
+            detect_scope=self.detect_scope,
+            frame_kp_budget=self.frame_kp_budget,
         )
         from ..ops.features import registry as feat_registry
 

@@ -38,6 +38,8 @@ from .state import FrameFeatures, MultiPnPResult
 # path) can size their fixed output capacity compatibly
 PLANE_POINTS = 8192
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # 3D backprojection of keypoints
@@ -94,6 +96,8 @@ def build_plane_extractor(
     plane_points: int = PLANE_POINTS,
     z_max: float = 7.0,
     plane_image_mode: str = "membership",
+    detect_scope: str = "frame",
+    frame_kp_budget: int = 0,
 ) -> Callable:
     """Returns jitted extract(gray, depth, cloud_xyz, cloud_mask, key)
     -> FrameFeatures with P=max_planes.
@@ -111,10 +115,36 @@ def build_plane_extractor(
     depth-adaptive blocks (src/GraphicEnd.cpp:390-420) from the
     decimated cloud's inlier sets — splat-vs-membership changes which
     pixels each detector sees, hence the escape hatch.
+
+    detect_scope (config key `detect_scope`) is the biggest per-frame
+    cost knob: "frame" (TPU-native default) equalizes + detects +
+    describes ONCE on the full frame and assigns keypoints to planes by
+    coverage-mask membership — one scale-space pyramid instead of
+    max_planes of them; "plane" reproduces the reference exactly
+    (per-plane equalizeHist + detection restricted to the plane image,
+    src/GraphicEnd.cpp:128-134 + GraphicEnd.h:97-111), tripling the
+    detector/descriptor work. The two differ in which pixels the
+    detector sees (per-plane equalization stretches each plane's local
+    contrast), so "plane" is kept as the parity escape hatch; quality
+    parity of "frame" is tracked in RESULTS.md.
+
+    frame_kp_budget: global detection budget for "frame" scope
+    (config key `frame_kp_budget`; 0 = max_kp). The default shares one
+    max_kp pool across planes — 1.5x faster than per-plane budgets and
+    trajectory quality is equal-or-better on the tracked benchmarks —
+    but wide-baseline frames with many planes can starve a plane of
+    keypoints; set max_planes*max_kp (or detect_scope: plane) for
+    reference budget parity.
     """
     if plane_image_mode not in ("membership", "splat"):
         raise ValueError(f"plane_image_mode: {plane_image_mode!r}")
-    detect = registry.create_detector(detector_name, max_kp)
+    if detect_scope not in ("frame", "plane"):
+        raise ValueError(f"detect_scope: {detect_scope!r}")
+    detect = registry.create_detector(
+        detector_name, max_kp, unbatched=(detect_scope == "frame"))
+    if detect_scope == "frame":
+        global_detect = registry.create_detector(
+            detector_name, frame_kp_budget or max_kp, unbatched=True)
     describe = registry.create_descriptor(descriptor_name)
 
     @jax.jit
@@ -146,8 +176,49 @@ def build_plane_extractor(
             images, masks = imageproc.plane_membership_images(
                 xyz_img, valid_img, coeffs, valids, gray, dist_thresh)
 
-        # all per-plane work is vmapped over the P axis: one kernel chain
-        # instead of max_planes sequential copies (TPU launch count matters)
+        if detect_scope == "frame":
+            # ONE pyramid + ONE descriptor pass for the whole frame at
+            # the full P*max_kp global budget; keypoints are assigned to
+            # planes by coverage membership and each plane keeps its own
+            # top-max_kp by response — per-plane capacity matches the
+            # reference path exactly, but the scale-space pyramid (the
+            # dominant SIFT frame cost) is built once instead of P times.
+            P = coeffs.shape[0]
+            eq = imageproc.equalize_hist(gray.astype(jnp.float32))
+            kps = global_detect(eq.astype(jnp.float32))
+            desc1 = describe(gray, kps)
+            H, W = gray.shape
+            ui = jnp.clip(jnp.round(kps.uv[:, 0]).astype(jnp.int32), 0, W - 1)
+            vi = jnp.clip(jnp.round(kps.uv[:, 1]).astype(jnp.int32), 0, H - 1)
+            in_plane = jax.vmap(lambda m: m[vi, ui])(masks)  # (P,Kg)
+
+            def pick_plane(member_p, coeff_p, valid_p):
+                score = jnp.where(member_p & kps.valid & valid_p,
+                                  kps.response, -jnp.inf)
+                vals, idx = jax.lax.top_k(score, max_kp)
+                # row compaction as one-hot matmuls: random row gathers
+                # lower element-at-a-time on TPU, (K,Kg)x(Kg,D) rides
+                # the MXU (CLAUDE.md perf rules)
+                onehot = jax.nn.one_hot(idx, score.shape[0],
+                                        dtype=desc1.dtype)
+                uv_p = jnp.matmul(onehot, kps.uv, precision=_HI)
+                desc_p = jnp.matmul(onehot, desc1)
+                kp3d_p, v3 = compute_kp3d_plane(depth, uv_p, coeff_p, intr)
+                return uv_p, kp3d_p, desc_p, (vals > -jnp.inf) & v3
+
+            uv, kp3d, desc, kpv = jax.vmap(pick_plane)(
+                in_plane, coeffs, valids)
+            return FrameFeatures(
+                coeffs=coeffs,
+                plane_valid=valids,
+                uv=uv,
+                kp3d=kp3d,
+                desc=desc,
+                kp_valid=kpv,
+            )
+
+        # parity path: per-plane work vmapped over the P axis — one
+        # kernel chain instead of max_planes sequential copies
         def per_plane(img_p, mask_img, coeff_p, valid_p):
             img_p = imageproc.equalize_hist(img_p)
             kps = detect(img_p, mask_img)

@@ -110,9 +110,12 @@ def test_planes_pipeline_e2e(dataset, tmp_path_factory):
     root, traj = dataset
     datadir = str(tmp_path_factory.mktemp("data_planes"))
     # smaller kernels: the plane pipeline's CPU compile dominates suite
-    # wall time, and this test checks behavior, not capacity
+    # wall time, and this test checks behavior, not capacity. At this
+    # reduced max_keypoints the frame-scope shared budget is too thin
+    # for reliable tracking, so give it the per-plane-parity budget.
     ge = GraphicEnd(make_params(root, max_keypoints=128,
-                                ransac_hypotheses=64), data_dir=datadir)
+                                ransac_hypotheses=64,
+                                frame_kp_budget=384), data_dir=datadir)
     slam = SLAMEnd()
     ge.init(slam)
     slam.init(ge)

@@ -145,9 +145,12 @@ def test_rescue_with_last_promotes_both(tmp_path_factory):
     synthetic.write_dataset(root, scene, traj, INTR, write_pcd=True)
 
     # max_pos_change huge -> no ordinary keyframe promotion: curr_kf
-    # stays frame 1 until tracking against it fails
+    # stays frame 1 until tracking against it fails. The scenario is
+    # tuned to ride the norm~1.0 acceptance boundary, which is scope-
+    # sensitive; pin the reference-exact per-plane detection since this
+    # test exercises the state machine, not the detector scope.
     ge = GraphicEnd(_params(root, max_pos_change=999.0, lost_frames=5,
-                            loop_closure_inliers=20),
+                            loop_closure_inliers=20, detect_scope="plane"),
                     data_dir=str(tmp_path_factory.mktemp("data_rescue")))
     slam = SLAMEnd()
     ge.init(slam)

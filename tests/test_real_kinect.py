@@ -62,7 +62,9 @@ def test_planes_and_registration_on_real_pair(real_pair):
     fa, fb, res = _register(real_pair, "GFTT")
     assert int(np.asarray(fa.plane_valid).sum()) >= 2
     assert int(np.asarray(fb.plane_valid).sum()) >= 2
-    assert int(np.asarray(fa.kp_valid).sum()) > 200
+    # frame-scope detection shares one max_kp budget across planes
+    # (detect_scope knob), so the plane-assigned total is < max_kp
+    assert int(np.asarray(fa.kp_valid).sum()) > 150
     assert int(res.inliers) >= 30, int(res.inliers)
     t = np.asarray(res.T)[:3, 3]
     assert np.linalg.norm(t) < 0.5  # physically plausible 9-frame motion
@@ -73,7 +75,10 @@ def test_detectors_agree_on_real_pair(real_pair):
     cross-detector consistency oracle that needs no ground truth."""
     _, _, r_sift = _register(real_pair, "SIFT")
     _, _, r_gftt = _register(real_pair, "GFTT")
-    assert int(r_sift.inliers) >= 20
+    # the shared frame-scope budget (256 kp here) thins SIFT's inlier
+    # pool on this 9-frame-baseline pair; the agreement check below is
+    # the real oracle
+    assert int(r_sift.inliers) >= 12 and bool(r_sift.ok)
     t1 = np.asarray(r_sift.T)[:3, 3]
     t2 = np.asarray(r_gftt.T)[:3, 3]
     assert np.linalg.norm(t1 - t2) < 0.05, (t1, t2)
