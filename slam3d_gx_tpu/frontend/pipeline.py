@@ -308,7 +308,12 @@ def build_multipnp_planes(
         )
 
         # per-plane-pair matching + pnp, vmapped over the P axis (one
-        # batched kernel chain instead of P sequential RANSAC solves)
+        # batched kernel chain instead of P sequential RANSAC solves).
+        # Only the inlier masks are consumed downstream (pooled into the
+        # global solve, src/GraphicEnd.cpp:572-595), so the Gauss-Newton
+        # polish is skipped here: best-of-B P3P inliers are equivalent
+        # at the 8px gate and each GN iteration is pure latency (~60us
+        # of sequential chain on TPU).
         def per_plane(desc_a, kpv_a, obj, uv_b, desc_b, kpv_b, pv, k):
             midx, mdist, mok = match.match_nn(desc_a, kpv_a, desc_b, kpv_b)
             good = match.good_match_filter(mdist, mok, floor=match_floor) & pv
@@ -316,6 +321,7 @@ def build_multipnp_planes(
             res_p = pnp.solve_pnp_ransac(
                 obj, img, good, intr.fx, intr.fy, intr.cx, intr.cy,
                 k, reproj_thresh=8.0, hypotheses=hypotheses,
+                refine_iters=0,
             )
             return img, res_p.inliers & res_p.ok
 
@@ -329,10 +335,12 @@ def build_multipnp_planes(
         img = img_p.reshape(P * K, 2)
         pooled = w_p.reshape(P * K)
 
-        # global RANSAC at 8px (src/GraphicEnd.cpp:595)
+        # global RANSAC at 8px (src/GraphicEnd.cpp:595). Its pose only
+        # seeds the 3px refine solve below, so a short polish suffices.
         res1 = pnp.solve_pnp_ransac(
             obj, img, pooled, intr.fx, intr.fy, intr.cx, intr.cy,
             keys[P], reproj_thresh=8.0, hypotheses=hypotheses,
+            refine_iters=4,
         )
         n1 = res1.n_inliers
         have_any = pooled.sum() >= 3
