@@ -95,6 +95,7 @@ class GraphicEnd:
         self._key = jax.random.PRNGKey(self.seed)
         self._build_pipeline()
         self.lcdb = None  # built lazily when loop_closure_scored is on
+        self.kf_store = None  # device-resident keyframe features
 
         # state
         self.robot = np.eye(4)
@@ -155,6 +156,15 @@ class GraphicEnd:
 
     def _register_keyframe(self, kf: Keyframe):
         self.keyframes.append(kf)
+        if self.batch_registrar is not None:
+            # device-resident feature store: candidate batches come from
+            # ONE fixed-shape jitted gather instead of eager stacks whose
+            # shapes (and XLA programs) grow with the keyframe count
+            if self.kf_store is None:
+                from ..parallel.registration import FeatureStore
+
+                self.kf_store = FeatureStore(kf.features)
+            self.kf_store.add(kf.features)
         if self.params.get_int("loop_closure_scored") == 0:
             return
         if self.lcdb is None:
@@ -487,10 +497,9 @@ class GraphicEnd:
             # nearby and checked gets its edge twice (reference parity —
             # both loops add one) but is logged/connected exactly once
             records = [False] * len(nearby) + [True] * len(checked)
-            pairs = [(self.keyframes[i].features, self.curr_kf.features)
-                     for i in cand]
-            results = self.batch_registrar(
-                pairs, self.next_key(), self.loop_closure_inliers,
+            results = self.batch_registrar.run_against_one(
+                self.kf_store, cand, self.curr_kf.features,
+                self.next_key(), self.loop_closure_inliers,
             )
             for i, record, (T, norm, inl, ok) in zip(cand, records, results):
                 if (not ok) or norm > self.loop_closure_error \
@@ -527,13 +536,13 @@ class GraphicEnd:
             return
         # brute-force re-localization against the whole history
         # (src/GraphicEnd.cpp:810-836) — with the batched registrar the
-        # O(K) scan is one padded device launch (padded to a power-of-two
-        # bucket so it recompiles only when the history doubles)
+        # O(K) scan runs in fixed-shape chunks straight out of the
+        # device-resident feature store (no per-K recompiles)
         if self.batch_registrar is not None:
             cand = list(range(len(self.keyframes) - 1))
-            pairs = [(self.keyframes[i].features, self.curr_kf.features)
-                     for i in cand]
-            results = self.batch_registrar(pairs, self.next_key(), 12)
+            results = self.batch_registrar.run_against_one(
+                self.kf_store, cand, self.curr_kf.features,
+                self.next_key(), 12)
             for i, (T, norm, inl, ok) in zip(cand, results):
                 if not ok or inl < self.loop_closure_inliers \
                         or norm > self.loop_closure_error:
@@ -585,13 +594,13 @@ class GraphicEnd:
 
         if self.batch_registrar is not None and (down or up):
             # the sequential walk stops at the first failure in each
-            # direction; checking the whole window in ONE batched launch
+            # direction; checking the whole window in batched launches
             # and truncating post-hoc accepts the identical prefix
             cand = down + up
-            pairs = [(self.keyframes[source].features,
-                      self.keyframes[i].features) for i in cand]
-            results = self.batch_registrar(
-                pairs, self.next_key(), self.loop_closure_inliers)
+            results = self.batch_registrar.run_against_one(
+                self.kf_store, cand, self.keyframes[source].features,
+                self.next_key(), self.loop_closure_inliers,
+                single_is_target=False)
             verdict = {}
             for i, (T, norm, inl, ok) in zip(cand, results):
                 verdict[i] = (

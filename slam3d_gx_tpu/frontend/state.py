@@ -73,11 +73,31 @@ class Keyframe:
     connect: List[int] = dataclasses.field(default_factory=list)
 
 
-def result_to_host(res: MultiPnPResult):
-    """Device result -> (np 4x4 T, float norm, int inliers, bool ok)."""
+def pack_result(res: MultiPnPResult):
+    """Flatten a result batch into ONE device array so the host pays a
+    single relay round-trip instead of one per field (the remote-relay
+    sync is ~28 ms each; four fields = ~120 ms of pure latency)."""
+    T = res.T.reshape(res.T.shape[:-2] + (16,)).astype(jnp.float32)
+    tail = jnp.stack([
+        res.norm.astype(jnp.float32),
+        res.inliers.astype(jnp.float32),
+        res.ok.astype(jnp.float32),
+    ], axis=-1)
+    return jnp.concatenate([T, tail], axis=-1)  # (..., 19)
+
+
+def unpack_result_row(row: np.ndarray):
+    """One packed row -> (np 4x4 T float64, norm, inliers, ok)."""
     return (
-        np.asarray(res.T, dtype=np.float64),
-        float(res.norm),
-        int(res.inliers),
-        bool(res.ok),
+        row[:16].astype(np.float64).reshape(4, 4),
+        float(row[16]),
+        int(row[17]),
+        bool(row[18] != 0.0),
     )
+
+
+def result_to_host(res: MultiPnPResult):
+    """Device result -> (np 4x4 T, float norm, int inliers, bool ok).
+
+    One packed transfer (see pack_result)."""
+    return unpack_result_row(np.asarray(pack_result(res)))

@@ -98,6 +98,69 @@ def build_batched_multipnp(
     return fn
 
 
+class FeatureStore:
+    """Device-resident, fixed-capacity stack of per-keyframe features.
+
+    Why this exists: building a loop-closure batch with eager
+    `jnp.stack` over a *growing* list of keyframes changes the op's
+    shape every frame, and on remote-compile toolchains every new shape
+    is a fresh XLA compile (~0.4 s each — measured 90 compiles / 40 s
+    across 6 frames before this store existed). Here the features live
+    in fixed-capacity device buffers (grown by doubling) and candidate
+    batches are produced by ONE jitted gather with a static chunk
+    shape, so steady-state loop closure launches zero new programs.
+    """
+
+    def __init__(self, template: FrameFeatures, capacity: int = 64,
+                 chunk: int = 32):
+        self.chunk = chunk
+        self.count = 0
+        self.capacity = capacity
+        self._template = jax.tree.map(
+            lambda x: (tuple(x.shape), x.dtype), template)
+        self._bufs = jax.tree.map(
+            lambda x: jnp.zeros((capacity,) + tuple(x.shape), x.dtype),
+            template)
+
+        def _set(bufs, i, f):
+            return jax.tree.map(lambda b, x: b.at[i].set(x), bufs, f)
+
+        def _gather(bufs, idx):
+            return jax.tree.map(lambda b: b[idx], bufs)
+
+        def _bcast(f):
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[None], (chunk,) + tuple(x.shape)), f)
+
+        self._set = jax.jit(_set, donate_argnums=0)
+        self._gather = jax.jit(_gather)
+        self._bcast = jax.jit(_bcast)
+
+    def add(self, f: FrameFeatures) -> int:
+        if self.count == self.capacity:
+            old = self._bufs
+            self.capacity *= 2
+            self._bufs = jax.tree.map(
+                lambda b: jnp.concatenate(
+                    [b, jnp.zeros_like(b)], axis=0), old)
+        i = self.count
+        self._bufs = self._set(self._bufs, jnp.int32(i), f)
+        self.count += 1
+        return i
+
+    def gather(self, indices) -> FrameFeatures:
+        """indices: <= chunk host ints -> (chunk, ...) batch (padded by
+        repeating index 0; callers discard padded rows)."""
+        idx = np.zeros((self.chunk,), np.int32)
+        idx[: len(indices)] = np.asarray(indices, np.int32)
+        return self._gather(self._bufs, jnp.asarray(idx))
+
+    def broadcast(self, f: FrameFeatures) -> FrameFeatures:
+        """One frame -> (chunk, ...) replicated batch."""
+        return self._bcast(f)
+
+
 class BatchedRegistrar:
     """Host-side helper: collects (features_a, features_b) pairs, pads the
     batch to the dp multiple, runs one sharded device program, returns
@@ -118,6 +181,38 @@ class BatchedRegistrar:
             hypotheses=hypotheses, mesh=mesh, match_floor=match_floor,
         )
 
+    def run_stacked(self, fa: FrameFeatures, fb: FrameFeatures, key,
+                    min_inliers: int, n_valid: int):
+        """Register pre-stacked (chunk, ...) batches (FeatureStore
+        gather/broadcast output) — zero eager shape-varying ops, so no
+        recompiles as the keyframe set grows. Returns host tuples for
+        the first n_valid rows."""
+        from ..frontend.state import pack_result, unpack_result_row
+
+        chunk = fa.uv.shape[0]
+        keys = jax.random.split(key, chunk)
+        res = self.fn(fa, fb, keys, jnp.int32(min_inliers))
+        packed = np.asarray(pack_result(res))  # ONE relay transfer
+        return [unpack_result_row(packed[i]) for i in range(n_valid)]
+
+    def run_against_one(self, store: "FeatureStore", indices, single,
+                        key, min_inliers: int, single_is_target: bool = True):
+        """Register store[indices] against one broadcast frame, chunked
+        to the store's fixed batch shape. single_is_target: pairs are
+        (store[i], single) — the loop-closure direction; False flips to
+        (single, store[i]) (checknearby's outward walk)."""
+        out = []
+        bcast = store.broadcast(single)
+        for c0 in range(0, len(indices), store.chunk):
+            part = list(indices[c0:c0 + store.chunk])
+            gathered = store.gather(part)
+            fa, fb = ((gathered, bcast) if single_is_target
+                      else (bcast, gathered))
+            key, sub = jax.random.split(key)
+            out.extend(self.run_stacked(fa, fb, sub, min_inliers,
+                                        len(part)))
+        return out
+
     def __call__(self, pairs, key, min_inliers: int, pad_to: int = 32):
         """pairs: list of (FrameFeatures, FrameFeatures). Returns a list of
         (T 4x4 np, norm, inliers, ok) per pair.
@@ -137,12 +232,5 @@ class BatchedRegistrar:
             fa = pad_batch(stack_features([p[0] for p in part]), chunk)
             fb = pad_batch(stack_features([p[1] for p in part]), chunk)
             key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, chunk)
-            res = self.fn(fa, fb, keys, jnp.int32(min_inliers))
-            T = np.asarray(res.T, np.float64)
-            norm = np.asarray(res.norm, np.float64)
-            inl = np.asarray(res.inliers, np.int64)
-            ok = np.asarray(res.ok, bool)
-            out.extend((T[i], float(norm[i]), int(inl[i]), bool(ok[i]))
-                       for i in range(b))
+            out.extend(self.run_stacked(fa, fb, sub, min_inliers, b))
         return out
