@@ -33,6 +33,10 @@ def run(graphic_end_cls, argv=None) -> int:
 
     print(f"keyframes: {len(ge.keyframes)}")
     os.makedirs("./data", exist_ok=True)
+    # resolve any still-in-flight loop-closure round so final.g2o
+    # (pre-optimization checkpoint) carries every edge, like the
+    # reference's synchronous loop would
+    ge.drain_pending_loop_closures()
     slam.globalOptimizer.save("./data/final.g2o")
     ge.save_final_result("./data/result.pcd")
     return 0

@@ -112,6 +112,7 @@ class GraphicEnd:
         self.odo_last = np.eye(4)
         self._errorfile = None
         self._lcfile = None
+        self._pending_lc = []  # async loop-closure rounds awaiting drain
 
     # -- construction ------------------------------------------------------
     def _build_pipeline(self):
@@ -366,6 +367,7 @@ class GraphicEnd:
 
     # -- per-frame step ---------------------------------------------------------
     def run(self):
+        self.drain_pending_loop_closures()
         present = self._take_or_extract_present()
         self.present = present
 
@@ -452,6 +454,30 @@ class GraphicEnd:
             self.odo_last = self.odo_this
 
     # -- loop closure -------------------------------------------------------
+    def drain_pending_loop_closures(self):
+        """Resolve asynchronously dispatched loop-closure rounds (one
+        relay transfer per chunk) and apply their edges/logs. Called at
+        the top of run(), before lostRecovery's scan, and at save time —
+        deferred resolution is observation-equivalent because no
+        frontend path reads the loop edges before finalize."""
+        if not self._pending_lc:
+            return
+        from ..parallel.registration import resolve_async
+
+        for cand, records, kf, pending in self._pending_lc:
+            results = resolve_async(pending)
+            for i, record, (T, norm, inl, ok) in zip(cand, records, results):
+                if (not ok) or norm > self.loop_closure_error \
+                        or inl < self.loop_closure_inliers:
+                    continue
+                if record:
+                    self.display_lc(self.keyframes[i].frame_index,
+                                    kf.frame_index, norm, inl)
+                    kf.connect.append(i)
+                self.opt.add_edge(self.keyframes[i].id, kf.id,
+                                  se3.inverse(T), INFO_VISUAL, robust=True)
+        self._pending_lc = []
+
     def _try_loop_edge(self, kf: Keyframe, record: bool) -> bool:
         res = self.multipnp(
             kf.features, self.curr_kf.features, self.next_key(),
@@ -490,27 +516,25 @@ class GraphicEnd:
 
         if self.batch_registrar is not None:
             # every candidate is judged independently in the reference, so
-            # the whole round runs as ONE batched device launch
-            # (parallel/registration.py; SURVEY.md §2.4 item 2)
+            # the whole round runs as batched device launches
+            # (parallel/registration.py; SURVEY.md §2.4 item 2) — and the
+            # readback is DEFERRED: nothing in the frontend consumes loop
+            # edges or connect lists until findMoreLoops/optimize at save
+            # time (the reference too only optimizes in saveFinalResult,
+            # src/GraphicEnd.cpp:661-682), so the device verifies the
+            # round while the host moves on to the next frame. Outputs
+            # are identical to immediate resolution.
             cand = nearby + checked
             # record per-position, not by membership: an index in both
             # nearby and checked gets its edge twice (reference parity —
             # both loops add one) but is logged/connected exactly once
             records = [False] * len(nearby) + [True] * len(checked)
-            results = self.batch_registrar.run_against_one(
+            pending = self.batch_registrar.dispatch_against_one(
                 self.kf_store, cand, self.curr_kf.features,
                 self.next_key(), self.loop_closure_inliers,
             )
-            for i, record, (T, norm, inl, ok) in zip(cand, records, results):
-                if (not ok) or norm > self.loop_closure_error \
-                        or inl < self.loop_closure_inliers:
-                    continue
-                if record:
-                    self.display_lc(self.keyframes[i].frame_index,
-                                    self.curr_kf.frame_index, norm, inl)
-                    self.keyframes[-1].connect.append(i)
-                self.opt.add_edge(self.keyframes[i].id, self.curr_kf.id,
-                                  se3.inverse(T), INFO_VISUAL, robust=True)
+            self._pending_lc.append(
+                (cand, records, self.keyframes[-1], pending))
             return
 
         for n in nearby:
@@ -520,6 +544,7 @@ class GraphicEnd:
                 self.keyframes[-1].connect.append(frame)
 
     def lost_recovery(self, present: FrameFeatures):
+        self.drain_pending_loop_closures()
         new_id = self.curr_kf.id + 1
         self.kf_pos = self.robot
         self.curr_kf = Keyframe(id=new_id, frame_index=self.index, features=present)
@@ -641,6 +666,7 @@ class GraphicEnd:
     def save_final_result(self, fileaddr: str = ""):
         """NB: mirrors the reference in ignoring `fileaddr` and writing the
         fixed data-dir paths (src/GraphicEnd.cpp:661-682)."""
+        self.drain_pending_loop_closures()
         self.find_more_loops()
         self.opt.optimize(self.params.get_int("optimize_step"))
         os.makedirs(self.data_dir, exist_ok=True)
@@ -692,6 +718,7 @@ class GraphicEnd2(GraphicEnd):
         return self.extract_img(self.curr_gray, self.curr_depth)
 
     def run(self):
+        self.drain_pending_loop_closures()
         present = self._take_or_extract_present()
         self.present = present
 

@@ -98,6 +98,18 @@ def build_batched_multipnp(
     return fn
 
 
+def resolve_async(pending):
+    """Materialize dispatch_against_one's futures: one relay transfer
+    per chunk, rows unpacked to (T, norm, inliers, ok) host tuples."""
+    from ..frontend.state import unpack_result_row
+
+    out = []
+    for packed, n_valid in pending:
+        arr = np.asarray(packed)
+        out.extend(unpack_result_row(arr[i]) for i in range(n_valid))
+    return out
+
+
 class FeatureStore:
     """Device-resident, fixed-capacity stack of per-keyframe features.
 
@@ -201,7 +213,18 @@ class BatchedRegistrar:
         to the store's fixed batch shape. single_is_target: pairs are
         (store[i], single) — the loop-closure direction; False flips to
         (single, store[i]) (checknearby's outward walk)."""
-        out = []
+        return resolve_async(self.dispatch_against_one(
+            store, indices, single, key, min_inliers, single_is_target))
+
+    def dispatch_against_one(self, store: "FeatureStore", indices, single,
+                             key, min_inliers: int,
+                             single_is_target: bool = True):
+        """Async variant: launch the chunked registrations and return a
+        list of (packed device array, n_valid) futures — no host sync.
+        Resolve later with resolve_async (one transfer per chunk)."""
+        from ..frontend.state import pack_result
+
+        pending = []
         bcast = store.broadcast(single)
         for c0 in range(0, len(indices), store.chunk):
             part = list(indices[c0:c0 + store.chunk])
@@ -209,9 +232,11 @@ class BatchedRegistrar:
             fa, fb = ((gathered, bcast) if single_is_target
                       else (bcast, gathered))
             key, sub = jax.random.split(key)
-            out.extend(self.run_stacked(fa, fb, sub, min_inliers,
-                                        len(part)))
-        return out
+            chunk = fa.uv.shape[0]
+            keys = jax.random.split(sub, chunk)
+            res = self.fn(fa, fb, keys, jnp.int32(min_inliers))
+            pending.append((pack_result(res), len(part)))
+        return pending
 
     def __call__(self, pairs, key, min_inliers: int, pad_to: int = 32):
         """pairs: list of (FrameFeatures, FrameFeatures). Returns a list of
