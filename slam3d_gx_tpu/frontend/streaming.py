@@ -1,0 +1,219 @@
+"""Streaming frontend: N frames of visual odometry per host round-trip.
+
+The reference's frame loop is strictly sequential and synchronous
+(src/run_SLAM.cpp:30-33), and even this framework's per-frame mode must
+read one pose back per frame for the keyframe decision — through a
+remote relay that single sync (~30-60 ms) caps the wall rate however
+fast the jitted step is. This module folds the *tracking* state machine
+of GraphicEnd2::run (src/GraphicEnd2.cpp:149-201: extract -> multiPnP
+-> invert -> keyframe/small-motion/lost branches) into one `lax.scan`
+over a chunk of frames, carried entirely on device:
+
+  carry = (current-keyframe features, kf_pos, robot, lost counter)
+  per frame: features = extract(gray, depth)
+             res = multiPnP(kf_feat, features); T = res.T^-1
+             ok    -> robot' = T @ kf_pos; lost' = 0
+             norm > max_pos_change -> promote: kf_feat' = features,
+                                      kf_pos' = robot'
+             !ok   -> lost' = lost + 1
+
+One packed (N, 24) readback per chunk carries every decision the host
+needs (measurement T, norm, inliers, ok, new-keyframe flag, lost
+counter); per-frame features stay on device and new keyframes are
+sliced out of the returned stack with a single jitted take. Keyframe
+bookkeeping, graph edges, loop closure (async, parallel/registration)
+and the logs are then replayed host-side with identical semantics.
+
+lostRecovery cannot run on device (it mutates the pose graph and scans
+history, src/GraphicEnd.cpp:764-838): when a chunk's lost counter
+crosses `lost_frames`, results after the trigger frame are discarded
+and those frames are re-run through the exact per-frame path.
+
+Within-chunk results are decision-equivalent to per-frame mode; RANSAC
+draws consume a different PRNG stream, so poses match statistically,
+not bit-for-bit (same contract as the reference's srand run-to-run).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..io import images
+from . import pipeline
+from .graphic_end import GraphicEnd2, INFO_VISUAL
+from .state import FrameFeatures, Keyframe
+
+
+def _inv_se3(T):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ti = jnp.eye(4, dtype=T.dtype)
+    Ti = Ti.at[:3, :3].set(R.T)
+    return Ti.at[:3, 3].set(-R.T @ t)
+
+
+def build_tracker(extract_img, multipnp, max_pos_change: float,
+                  chunk: int):
+    """Jitted track_chunk(kf_feat, kf_pos, robot, lost, grays, depths,
+    keys) -> (carry', features_stack (N,...), records (N,24))."""
+
+    @jax.jit
+    def track_chunk(kf_feat, kf_pos, robot, lost, grays, depths, keys):
+        def step(carry, xs):
+            kf_feat, kf_pos, robot, lost = carry
+            gray, depth, key = xs
+            # frames arrive as raw u8/u16 (half the relay upload bytes);
+            # cast on device
+            feat = extract_img(gray.astype(jnp.float32),
+                               depth.astype(jnp.float32))
+            res = multipnp(kf_feat, feat, key, jnp.int32(12))
+            T = _inv_se3(res.T)
+            ok = res.ok
+            new_kf = ok & (res.norm > max_pos_change)
+            robot_n = jnp.where(ok, T @ kf_pos, robot)
+            kf_pos_n = jnp.where(new_kf, robot_n, kf_pos)
+            kf_feat_n = jax.tree.map(
+                lambda new, old: jnp.where(new_kf, new, old), feat, kf_feat)
+            lost_n = jnp.where(ok, 0, lost + 1)
+            rec = jnp.concatenate([
+                T.reshape(16).astype(jnp.float32),
+                jnp.stack([
+                    res.norm.astype(jnp.float32),
+                    res.inliers.astype(jnp.float32),
+                    ok.astype(jnp.float32),
+                    new_kf.astype(jnp.float32),
+                    lost_n.astype(jnp.float32),
+                ]),
+                robot_n[:3, 3].astype(jnp.float32),
+            ])
+            return (kf_feat_n, kf_pos_n, robot_n, lost_n), (feat, rec)
+
+        carry, (feats, recs) = jax.lax.scan(
+            step, (kf_feat, kf_pos, robot, lost),
+            (grays, depths, keys), length=chunk)
+        return carry, feats, recs
+
+    return track_chunk
+
+
+_take = jax.jit(lambda stack, i: jax.tree.map(lambda x: x[i], stack))
+
+
+class StreamingGraphicEnd2(GraphicEnd2):
+    """GraphicEnd2 with chunked on-device tracking (config-free: pass
+    chunk to run_streaming; everything else comes from parameters.yaml).
+
+    Use run_streaming(n_frames) instead of n calls to run().
+    """
+
+    def __init__(self, params=None, data_dir: str = "./data",
+                 chunk: int = 8):
+        super().__init__(params, data_dir=data_dir)
+        self.chunk = chunk
+        self._tracker = None
+
+    def _ensure_tracker(self):
+        if self._tracker is None:
+            self._tracker = build_tracker(
+                self.extract_img, self.multipnp, self.max_pos_change,
+                self.chunk)
+
+    def _load_frames(self, indices):
+        grays, depths = [], []
+        for idx in indices:
+            pre = None
+            if getattr(self, "_prefetch", None) is not None \
+                    and self._prefetch_next == idx:
+                save = self.index
+                self.index = idx
+                pre = self._prefetch_pop()
+                self.index = save
+            if pre is not None:
+                g, d, _ = pre
+            else:
+                g = images.load_gray(
+                    os.path.join(self.rgb_path, f"{idx}.png"))
+                d = images.load_depth(
+                    os.path.join(self.dep_path, f"{idx}.png"))
+            grays.append(np.asarray(g))
+            depths.append(np.asarray(d, np.uint16))
+        return np.stack(grays), np.stack(depths)
+
+    def run_streaming(self, n_frames: int) -> int:
+        """Process up to n_frames (stops at missing files). Returns the
+        number of frames actually processed."""
+        self._ensure_tracker()
+        done = 0
+        while done < n_frames:
+            want = min(self.chunk, n_frames - done)
+            indices = [self.index + i for i in range(want)]
+            indices = [i for i in indices if os.path.exists(
+                os.path.join(self.rgb_path, f"{i}.png"))]
+            if not indices:
+                break
+            if len(indices) < self.chunk:
+                # partial tail: the fixed-shape tracker would recompile;
+                # fall back to the per-frame path
+                for _ in indices:
+                    self.run()
+                    done += 1
+                continue
+            done += self._run_chunk(indices)
+        return done
+
+    def _run_chunk(self, indices) -> int:
+        self.drain_pending_loop_closures()
+        grays, depths = self._load_frames(indices)
+        keys = jax.random.split(self.next_key(), self.chunk)
+        carry, feats, recs = self._tracker(
+            self.curr_kf.features,
+            jnp.asarray(self.kf_pos, jnp.float32),
+            jnp.asarray(self.robot, jnp.float32),
+            jnp.int32(self.lost),
+            jnp.asarray(grays),   # u8: half the relay upload
+            jnp.asarray(depths),  # u16
+            keys,
+        )
+        recs = np.asarray(recs)  # ONE readback per chunk
+
+        applied = 0
+        for j, idx in enumerate(indices):
+            T = recs[j, :16].astype(np.float64).reshape(4, 4)
+            norm = float(recs[j, 16])
+            ok = recs[j, 18] != 0.0
+            new_kf = recs[j, 19] != 0.0
+            lost_after = int(recs[j, 20])
+            self.index = idx
+            if not ok:
+                self._log("error_of_transform.log", "9999\n")
+                self.lost = lost_after
+            else:
+                self._log("error_of_transform.log", f"{norm:g}\n")
+                self.robot = T @ self.kf_pos
+                self.lost = 0
+                if new_kf:
+                    feat_j = _take(feats, jnp.int32(j))
+                    self.generate_keyframe(T, feat_j)
+                    if self.loop_closure_detection:
+                        self.loop_closure()
+            applied += 1
+            self.index = idx + 1
+            if self.lost > self.lost_frames:
+                # recovery mutates the graph and the reference keyframe;
+                # device results past this frame assumed no recovery —
+                # replay the rest through the per-frame path
+                feat_j = _take(feats, jnp.int32(j))
+                self.lost_recovery(feat_j)
+                for k in range(j + 1, len(indices)):
+                    self.index = indices[k]
+                    self.run()
+                    applied += 1
+                break
+        return applied
