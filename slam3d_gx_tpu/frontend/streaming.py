@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from ..geometry import se3
 from ..io import images
 from . import pipeline
-from .graphic_end import GraphicEnd2, INFO_VISUAL
+from .graphic_end import GraphicEnd, GraphicEnd2, INFO_VISUAL
 from .state import FrameFeatures, Keyframe
 
 
@@ -59,21 +59,26 @@ def _inv_se3(T):
     return Ti.at[:3, 3].set(-R.T @ t)
 
 
-def build_tracker(extract_img, multipnp, max_pos_change: float,
+def build_tracker(extract_fn, multipnp, max_pos_change: float,
                   chunk: int):
     """Jitted track_chunk(kf_feat, kf_pos, robot, lost, grays, depths,
-    keys) -> (carry', features_stack (N,...), records (N,24))."""
+    keys) -> (carry', features_stack (N,...), records (N,24)).
+
+    extract_fn(gray_f32, depth_f32, key) -> FrameFeatures — the plane
+    extractor consumes a PRNG key (RANSAC), the image extractor ignores
+    it."""
 
     @jax.jit
     def track_chunk(kf_feat, kf_pos, robot, lost, grays, depths, keys):
         def step(carry, xs):
             kf_feat, kf_pos, robot, lost = carry
             gray, depth, key = xs
+            k_ext, k_pnp = jax.random.split(key)
             # frames arrive as raw u8/u16 (half the relay upload bytes);
             # cast on device
-            feat = extract_img(gray.astype(jnp.float32),
-                               depth.astype(jnp.float32))
-            res = multipnp(kf_feat, feat, key, jnp.int32(12))
+            feat = extract_fn(gray.astype(jnp.float32),
+                              depth.astype(jnp.float32), k_ext)
+            res = multipnp(kf_feat, feat, k_pnp, jnp.int32(12))
             T = _inv_se3(res.T)
             ok = res.ok
             new_kf = ok & (res.norm > max_pos_change)
@@ -106,24 +111,28 @@ def build_tracker(extract_img, multipnp, max_pos_change: float,
 _take = jax.jit(lambda stack, i: jax.tree.map(lambda x: x[i], stack))
 
 
-class StreamingGraphicEnd2(GraphicEnd2):
-    """GraphicEnd2 with chunked on-device tracking (config-free: pass
-    chunk to run_streaming; everything else comes from parameters.yaml).
+class _StreamingMixin:
+    """Chunked on-device tracking shared by the image-only and plane
+    frontends. Use run_streaming(n_frames) instead of n run() calls.
 
-    Use run_streaming(n_frames) instead of n calls to run().
-    """
+    Subclasses provide _make_extract_fn() -> extract(gray_f32,
+    depth_f32, key) and set `replay_on_fail`: True makes the first
+    failed frame (and everything after it in the chunk) replay through
+    the exact per-frame path — required for GraphicEnd, whose lost
+    branch runs the last-frame rescue (src/GraphicEnd.cpp:183-227) that
+    can promote keyframes the device scan didn't model."""
 
-    def __init__(self, params=None, data_dir: str = "./data",
-                 chunk: int = 8):
-        super().__init__(params, data_dir=data_dir)
+    replay_on_fail = False
+
+    def _init_streaming(self, chunk: int):
         self.chunk = chunk
         self._tracker = None
 
     def _ensure_tracker(self):
         if self._tracker is None:
             self._tracker = build_tracker(
-                self.extract_img, self.multipnp, self.max_pos_change,
-                self.chunk)
+                self._make_extract_fn(), self.multipnp,
+                self.max_pos_change, self.chunk)
 
     def _load_frames(self, indices):
         grays, depths = [], []
@@ -191,6 +200,12 @@ class StreamingGraphicEnd2(GraphicEnd2):
             new_kf = recs[j, 19] != 0.0
             lost_after = int(recs[j, 20])
             self.index = idx
+            if not ok and self.replay_on_fail:
+                # the per-frame lost branch (last-frame rescue) can
+                # promote keyframes the device scan didn't model —
+                # replay from here through the exact per-frame path
+                applied += self._replay_from(j, indices, feats)
+                return applied
             if not ok:
                 self._log("error_of_transform.log", "9999\n")
                 self.lost = lost_after
@@ -203,6 +218,8 @@ class StreamingGraphicEnd2(GraphicEnd2):
                     self.generate_keyframe(T, feat_j)
                     if self.loop_closure_detection:
                         self.loop_closure()
+                self.last = _take(feats, jnp.int32(j))
+                self.last_frame_index = idx
             applied += 1
             self.index = idx + 1
             if self.lost > self.lost_frames:
@@ -217,3 +234,72 @@ class StreamingGraphicEnd2(GraphicEnd2):
                     applied += 1
                 break
         return applied
+
+    def _replay_from(self, j, indices, feats) -> int:
+        """Re-run frames indices[j:] through the per-frame path. `last`
+        is set from the chunk's feature stack so the rescue branch sees
+        the same previous-frame features the device tracked."""
+        if j > 0:
+            self.last = _take(feats, jnp.int32(j - 1))
+            self.last_frame_index = indices[j - 1]
+        applied = 0
+        for k in range(j, len(indices)):
+            self.index = indices[k]
+            self.run()
+            applied += 1
+        return applied
+
+
+class StreamingGraphicEnd2(_StreamingMixin, GraphicEnd2):
+    """Image-only frontend with chunked on-device tracking (the
+    reference's own 'real-time variant' motivation, README:15, taken
+    to its TPU conclusion)."""
+
+    def __init__(self, params=None, data_dir: str = "./data",
+                 chunk: int = 8):
+        super().__init__(params, data_dir=data_dir)
+        self._init_streaming(chunk)
+
+    def _make_extract_fn(self):
+        extract_img = self.extract_img
+
+        def ext(gray, depth, key):
+            del key  # image extractor is deterministic
+            return extract_img(gray, depth)
+
+        return ext
+
+
+class StreamingGraphicEnd(_StreamingMixin, GraphicEnd):
+    """Plane-pipeline frontend with chunked on-device tracking.
+
+    The chunk path derives each frame's cloud by backprojecting the
+    depth image on device (= convert2PCD semantics, so identical to the
+    PCD files for datasets produced by the documented workflow); frames
+    that fail to track replay through the per-frame path, which reads
+    the PCD files and runs the reference's last-frame rescue exactly.
+    """
+
+    replay_on_fail = True
+
+    def __init__(self, params=None, data_dir: str = "./data",
+                 chunk: int = 8):
+        super().__init__(params, data_dir=data_dir)
+        self._init_streaming(chunk)
+
+    def _make_extract_fn(self):
+        from ..ops import pointcloud
+
+        extract = self.extract
+        intr = self.intr
+        z_filter = self.z_filter
+
+        def ext(gray, depth, key):
+            xyz, valid = pointcloud.backproject(
+                depth, intr.fx, intr.fy, intr.cx, intr.cy, intr.factor)
+            xyz = xyz.reshape(-1, 3)
+            valid = pointcloud.passthrough_z(
+                xyz, valid.reshape(-1), 0.0, z_filter)
+            return extract(gray, depth, xyz, valid, key)
+
+        return ext

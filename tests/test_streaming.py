@@ -77,6 +77,48 @@ def test_streaming_matches_per_frame(dataset, tmp_path_factory):
         assert os.path.exists(os.path.join(d, "keyframe.txt"))
 
 
+def test_streaming_planes(tmp_path_factory):
+    """StreamingGraphicEnd: the flagship plane pipeline tracked in
+    chunks; decisions line up with the per-frame GraphicEnd."""
+    from slam3d_gx_tpu.frontend import GraphicEnd
+    from slam3d_gx_tpu.frontend.streaming import StreamingGraphicEnd
+
+    root = str(tmp_path_factory.mktemp("pstream"))
+    traj = synthetic.orbit_trajectory(N, radius=0.2, yaw_amp=0.1)
+    synthetic.write_dataset(root, synthetic.RoomScene(seed=3), traj, INTR,
+                            write_pcd=True)
+    # full budgets: reduced ones put every pair at the 12-inlier noise
+    # floor where key luck, not the streaming logic, decides tracking
+    kw = dict(max_keypoints=256, ransac_hypotheses=128)
+
+    ge = GraphicEnd(_params(root, **kw),
+                    data_dir=str(tmp_path_factory.mktemp("pf")))
+    slam = SLAMEnd()
+    ge.init(slam)
+    slam.init(ge)
+    for _ in range(N - 1):
+        ge.run()
+
+    gs = StreamingGraphicEnd(_params(root, **kw), chunk=5,
+                             data_dir=str(tmp_path_factory.mktemp("st")))
+    slam2 = SLAMEnd()
+    gs.init(slam2)
+    slam2.init(gs)
+    done = gs.run_streaming(N - 1)
+    assert done == N - 1
+    gs.save_final_result()
+
+    kf1 = [k.frame_index for k in ge.keyframes]
+    kf2 = [k.frame_index for k in gs.keyframes]
+    assert abs(len(kf1) - len(kf2)) <= 1, (kf1, kf2)
+    est = [gs.opt.vertex_estimate(k.id) for k in gs.keyframes]
+    gt = [traj[k.frame_index - 1] for k in gs.keyframes]
+    assert synthetic.ate_rmse(gt, est) < 0.06
+    rows = open(os.path.join(gs.data_dir,
+                             "error_of_transform.log")).read().split()
+    assert len(rows) == N - 1
+
+
 def test_streaming_handles_blackout(tmp_path_factory):
     """Frames the tracker cannot register (blackout) trigger the
     per-frame lost_recovery fallback mid-chunk."""
