@@ -98,7 +98,7 @@ def main() -> int:
     intr = CameraIntrinsics(fx=517.0, fy=517.0, cx=318.6, cy=255.3,
                             factor=5000.0)
 
-    n_timed = int(os.environ.get("BENCH_FRAMES", "48"))
+    n_timed = int(os.environ.get("BENCH_FRAMES", "192"))
     detector = os.environ.get("BENCH_DETECTOR", "GFTT")
     max_kp = int(os.environ.get("BENCH_MAXKP", "512"))
     hypotheses = int(os.environ.get("BENCH_HYPOTHESES", "256"))

@@ -183,7 +183,8 @@ def main(argv=None) -> int:
                                  _pairs_from(midx, np.asarray(res_p.inliers))))
 
         mp = pipeline.build_multipnp_planes(
-            intr, error_threshold=1e9, hypotheses=hypotheses)
+            intr, error_threshold=1e9, hypotheses=hypotheses,
+            pooled_reproj=params.get_float("ransac_accuracy"))
         res = mp(fa, fb, keys[7], 0)
         T = se3.inverse(np.asarray(res.T, np.float64))
         n_inl = int(res.inliers)

@@ -117,6 +117,7 @@ def matching_planar(
 
     mp = pipeline.build_multipnp_planes(
         intr, error_threshold=1e9, hypotheses=hypotheses,
+        pooled_reproj=params.get_float("ransac_accuracy"),
     )
     t0 = time.time()
     res = mp(f1, f2, keys[2], 0)

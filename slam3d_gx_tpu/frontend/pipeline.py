@@ -289,12 +289,16 @@ def build_multipnp_planes(
     error_threshold: float = 1.0,
     hypotheses: int = 256,
     match_floor: float = 0.0,
+    pooled_reproj: float = 8.0,
 ) -> Callable:
     """GraphicEnd::multiPnP (src/GraphicEnd.cpp:557-659).
 
     minimum_inliers is a traced argument (12 normally, loop_closure_inliers
     for loop closure — reference src/GraphicEnd.h:134). match_floor: see
     ops/features/registry.match_floor (binary descriptors need > 0).
+    pooled_reproj: px threshold of the pooled global RANSAC — 8.0 in the
+    frontend (GraphicEnd.cpp:595); exp1_2's MatchingPlanar reads it from
+    `ransac_accuracy` (exp1_2.cpp:465-467).
     """
 
     @jax.jit
@@ -335,11 +339,12 @@ def build_multipnp_planes(
         img = img_p.reshape(P * K, 2)
         pooled = w_p.reshape(P * K)
 
-        # global RANSAC at 8px (src/GraphicEnd.cpp:595). Its pose only
-        # seeds the 3px refine solve below, so a short polish suffices.
+        # global RANSAC at pooled_reproj px (src/GraphicEnd.cpp:595).
+        # Its pose only seeds the 3px refine solve below, so a short
+        # polish suffices.
         res1 = pnp.solve_pnp_ransac(
             obj, img, pooled, intr.fx, intr.fy, intr.cx, intr.cy,
-            keys[P], reproj_thresh=8.0, hypotheses=hypotheses,
+            keys[P], reproj_thresh=pooled_reproj, hypotheses=hypotheses,
             refine_iters=4,
         )
         n1 = res1.n_inliers
