@@ -200,6 +200,11 @@ class _StreamingMixin:
             new_kf = recs[j, 19] != 0.0
             lost_after = int(recs[j, 20])
             self.index = idx
+            if self.use_odometry and self.odometry:
+                # mirror run()'s bookkeeping: while processing frame idx,
+                # odo_this is the pose read after the previous frame
+                self.odo_this = self.odometry[
+                    min(idx, len(self.odometry)) - 1]
             if not ok and self.replay_on_fail:
                 # the per-frame lost branch (last-frame rescue) can
                 # promote keyframes the device scan didn't model —

@@ -119,6 +119,30 @@ def test_streaming_planes(tmp_path_factory):
     assert len(rows) == N - 1
 
 
+def test_streaming_odometry_edges(dataset, tmp_path_factory):
+    """use_odometry in streaming mode: odo_this advances per applied
+    frame, so keyframes get the odometry edge at 1/sigma^2 like the
+    per-frame path (reference src/GraphicEnd.cpp:330-346)."""
+    from slam3d_gx_tpu.frontend.streaming import StreamingGraphicEnd2
+
+    root, traj = dataset
+    gs = StreamingGraphicEnd2(_params(root, use_odometry="yes"), chunk=5,
+                              data_dir=str(tmp_path_factory.mktemp("odo")))
+    slam = SLAMEnd()
+    gs.init(slam)
+    slam.init(gs)
+    gs.run_streaming(N - 1)
+    gs.drain_pending_loop_closures()
+    info_odo = 1.0 / (0.03**2)
+    odo_edges = [e for e in gs.opt.graph.edges
+                 if abs(e.information[0, 0] - info_odo) < 1e-6]
+    assert len(odo_edges) >= len(gs.keyframes) - 1
+    # odometry edges must differ between keyframes (odo_this advanced;
+    # before the fix every edge reused the stale chunk-entry pose)
+    if len(odo_edges) >= 2:
+        assert not np.allclose(odo_edges[0].T, odo_edges[1].T)
+
+
 def test_streaming_handles_blackout(tmp_path_factory):
     """Frames the tracker cannot register (blackout) trigger the
     per-frame lost_recovery fallback mid-chunk."""
