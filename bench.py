@@ -124,6 +124,67 @@ def main() -> int:
     # --- jitted per-frame step -------------------------------------------
     from slam3d_gx_tpu.frontend.state import empty_frame
 
+    if mode == "streaming":
+        # chunked on-device tracking (frontend/streaming.py): N frames
+        # per host round-trip. Measures the streaming step rate — the
+        # compute path of run_SLAM_streaming minus file IO.
+        from slam3d_gx_tpu.frontend.streaming import build_tracker
+
+        chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+        extract_img = pipeline.build_image_extractor(
+            detector, "SIFT", intr, max_kp=max_kp)
+        multipnp = pipeline.build_multipnp_image(intr, hypotheses=hypotheses)
+        tracker = build_tracker(
+            lambda g, d, k: extract_img(g, d), multipnp,
+            max_pos_change=0.25, chunk=chunk)
+
+        from slam3d_gx_tpu.frontend.state import empty_frame
+
+        g_chunks = [jnp.stack([grays[(c * chunk + i) % n_src]
+                               for i in range(chunk)])
+                    for c in range(4)]
+        d_chunks = [jnp.stack([depths[(c * chunk + i) % n_src]
+                               for i in range(chunk)])
+                    for c in range(4)]
+        kf_feat = empty_frame(1, max_kp, 128)
+        kf_pos = jnp.eye(4, dtype=jnp.float32)
+        robot = jnp.eye(4, dtype=jnp.float32)
+        lost = jnp.int32(0)
+        key = jax.random.PRNGKey(0)
+
+        def run_chunk(kf_feat, kf_pos, robot, lost, c, key):
+            keys = jax.random.split(key, chunk)
+            carry, feats, recs = tracker(
+                kf_feat, kf_pos, robot, lost,
+                g_chunks[c % 4], d_chunks[c % 4], keys)
+            return carry, np.asarray(recs)  # the per-chunk readback
+
+        t0 = time.time()
+        (kf_feat, kf_pos, robot, lost), recs = run_chunk(
+            kf_feat, kf_pos, robot, lost, 0, key)
+        log(f"compile+first chunk: {time.time() - t0:.1f}s")
+        kf_feat = jax.tree_util.tree_map(lambda x: x, kf_feat)
+
+        n_chunks = max(1, n_timed // chunk)
+        t0 = time.time()
+        for c in range(n_chunks):
+            key, sub = jax.random.split(key)
+            (kf_feat, kf_pos, robot, lost), recs = run_chunk(
+                kf_feat, kf_pos, robot, lost, c, sub)
+        dt = time.time() - t0
+        fps = n_chunks * chunk / dt
+        log(f"{n_chunks * chunk} frames in {dt:.2f}s -> {fps:.2f} FPS "
+            f"(streaming, chunk={chunk}, 1 readback/chunk)")
+        print(json.dumps({
+            "metric": "streaming_frontend_fps_640x480",
+            "value": round(fps, 3),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / baseline_fps, 3),
+            "detector": detector,
+            "chunk": chunk,
+        }))
+        return 0
+
     if mode == "imageonly":
         extract_img = pipeline.build_image_extractor(
             detector, "SIFT", intr, max_kp=max_kp)
