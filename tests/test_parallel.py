@@ -227,3 +227,20 @@ def test_posegraph_sharded_matches_dense():
         tb = opt_b.vertex_estimate(i)[:3, 3]
         np.testing.assert_allclose(ta, tb, atol=5e-3)
         assert np.linalg.norm(tb - gt[i][:3, 3]) < 0.05
+
+
+def test_posegraph_sharded_cg():
+    """Edge-sharded linearization + the matrix-free CG solve — the
+    multi-chip path for graphs past the dense bucket (backend
+    pose_graph._optimize_cg under a dp mesh)."""
+    m = _mesh2d()
+    opt_a, gt = _ring_graph()
+    opt_b, _ = _ring_graph()
+    chi_a = opt_a.optimize(n_iters=15, solver="cg")
+    chi_b = optimize_sharded(opt_b, m, n_iters=15, solver="cg")
+    assert chi_b <= chi_a * 1.5 + 1e-3
+    for i in range(len(gt)):
+        tb = opt_b.vertex_estimate(i)[:3, 3]
+        np.testing.assert_allclose(
+            opt_a.vertex_estimate(i)[:3, 3], tb, atol=5e-3)
+        assert np.linalg.norm(tb - gt[i][:3, 3]) < 0.05
