@@ -113,6 +113,7 @@ class GraphicEnd:
         self._errorfile = None
         self._lcfile = None
         self._pending_lc = []  # async loop-closure rounds awaiting drain
+        self._check_cache = {}  # (k1,k2) -> (passed, T) pair verdicts
 
     # -- construction ------------------------------------------------------
     def _build_pipeline(self):
@@ -598,20 +599,32 @@ class GraphicEnd:
         self._log("lc.txt", f"{frame1} {frame2} {norm:g} {inliers}\n")
 
     # -- post-hoc loop expansion (src/GraphicEnd.cpp:864-947) ---------------
+    def _apply_check_verdict(self, k1: int, k2: int, passed: bool, T):
+        """Record a pair verdict and, on pass, add the edge — also used
+        when replaying a cached verdict (the reference re-checks
+        previously-checked pairs and adds DUPLICATE edges each time,
+        src/GraphicEnd.cpp:887-915; replaying from cache keeps that
+        weight-accumulation semantics without recomputing)."""
+        self._check_cache[(k1, k2)] = (passed, T)
+        if passed:
+            self.opt.add_edge(
+                self.keyframes[k1].id, self.keyframes[k2].id,
+                se3.inverse(T), INFO_VISUAL, robust=True)
+            self._more_loops += 1
+        return passed
+
     def check(self, k1: int, k2: int) -> bool:
+        cached = self._check_cache.get((k1, k2))
+        if cached is not None:
+            return self._apply_check_verdict(k1, k2, *cached)
         res = self.multipnp(
             self.keyframes[k1].features, self.keyframes[k2].features,
             self.next_key(), self.loop_closure_inliers,
         )
         T, norm, inl, ok = result_to_host(res)
-        if not ok or norm > self.loop_closure_error or inl < self.loop_closure_inliers:
-            return False
-        self.opt.add_edge(
-            self.keyframes[k1].id, self.keyframes[k2].id, se3.inverse(T),
-            INFO_VISUAL, robust=True,
-        )
-        self._more_loops += 1
-        return True
+        passed = bool(ok) and norm <= self.loop_closure_error \
+            and inl >= self.loop_closure_inliers
+        return self._apply_check_verdict(k1, k2, passed, T)
 
     def checknearby(self, source: int, target: int) -> List[int]:
         down = [i for i in range(target - 1, -1, -1) if i != source]
@@ -619,51 +632,38 @@ class GraphicEnd:
 
         if self.batch_registrar is not None and (down or up):
             # the sequential walk stops at the first failure in each
-            # direction — typically within a few frames. Batched
-            # evaluation uses GROWING windows (both directions share a
-            # launch) and only extends a direction whose whole window
-            # passed; evaluating the full history up front would be a
-            # ~25x overcompute at K~100 (the finalize bottleneck found
-            # on the 100-frame quality run).
-            window = 8
+            # direction. Batched evaluation advances in chunk-sized
+            # GROWING windows (evaluating the whole history up front is
+            # a ~25x overcompute when walks fail early) and reuses the
+            # verdict cache — on co-visible scenes find_more_loops
+            # re-checks the same pairs many times over (reference
+            # semantics: duplicate edges pile up weight), and the cache
+            # replays those verdicts without device work.
             checked = []
-            fronts = {0: 0, 1: 0}  # next unevaluated offset per walk
-            walks = (down, up)
-            alive = {0: bool(down), 1: bool(up)}
-            while alive[0] or alive[1]:
-                cand, owner = [], []
-                for wi in (0, 1):
-                    if alive[wi]:
-                        part = walks[wi][fronts[wi]:fronts[wi] + window]
-                        cand.extend(part)
-                        owner.extend([wi] * len(part))
-                if not cand:
-                    break
-                results = self.batch_registrar.run_against_one(
-                    self.kf_store, cand, self.keyframes[source].features,
-                    self.next_key(), self.loop_closure_inliers,
-                    single_is_target=False)
-                verdicts = {0: [], 1: []}
-                for wi, i, (T, norm, inl, ok) in zip(owner, cand, results):
-                    verdicts[wi].append((i, (
-                        ok and norm <= self.loop_closure_error
-                        and inl >= self.loop_closure_inliers), T))
-                for wi in (0, 1):
-                    if not alive[wi]:
-                        continue
-                    n_part = len(verdicts[wi])
-                    for i, passed, T in verdicts[wi]:
-                        if not passed:
-                            alive[wi] = False
+            for walk in (down, up):
+                pos = 0
+                alive = True
+                while alive and pos < len(walk):
+                    win = walk[pos:pos + self.kf_store.chunk]
+                    fresh = [i for i in win
+                             if (source, i) not in self._check_cache]
+                    if fresh:
+                        results = self.batch_registrar.run_against_one(
+                            self.kf_store, fresh,
+                            self.keyframes[source].features,
+                            self.next_key(), self.loop_closure_inliers,
+                            single_is_target=False)
+                        for i, (T, norm, inl, ok) in zip(fresh, results):
+                            self._check_cache[(source, i)] = (
+                                bool(ok) and norm <= self.loop_closure_error
+                                and inl >= self.loop_closure_inliers, T)
+                    for i in win:
+                        passed, T = self._check_cache[(source, i)]
+                        if not self._apply_check_verdict(source, i, passed, T):
+                            alive = False
                             break
-                        self.opt.add_edge(
-                            self.keyframes[source].id, self.keyframes[i].id,
-                            se3.inverse(T), INFO_VISUAL, robust=True)
-                        self._more_loops += 1
                         checked.append(i)
-                    fronts[wi] += n_part
-                    if fronts[wi] >= len(walks[wi]):
-                        alive[wi] = False
+                    pos += len(win)
             return checked
 
         checked = []
