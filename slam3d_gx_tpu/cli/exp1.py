@@ -136,7 +136,8 @@ def main(argv=None) -> int:
             dist_thresh=params.get_float("distance_threshold"),
             percent=params.get_float("plane_percent"),
             hypotheses=hypotheses)
-        keys = jax.random.split(key, 8)
+        n_keys = params.get_int("max_planes") + 3
+        keys = jax.random.split(key, n_keys)
         fa = extract(jnp.asarray(gray1, jnp.float32),
                      jnp.asarray(dep1, jnp.float32), c1, m1, keys[0])
         fb = extract(jnp.asarray(gray2, jnp.float32),
@@ -185,7 +186,7 @@ def main(argv=None) -> int:
         mp = pipeline.build_multipnp_planes(
             intr, error_threshold=1e9, hypotheses=hypotheses,
             pooled_reproj=params.get_float("ransac_accuracy"))
-        res = mp(fa, fb, keys[7], 0)
+        res = mp(fa, fb, keys[n_keys - 1], 0)
         T = se3.inverse(np.asarray(res.T, np.float64))
         n_inl = int(res.inliers)
     else:

@@ -116,6 +116,10 @@ DEFAULTS: Dict[str, str] = {
     # = the extractor's strided decimation, under which grid_leaf is
     # inert in the plane path (it still drives saveOutput fusion).
     "voxel_downsample_clouds": "0",
+    # PnP refinement: "tiered" (default; skip/shorten the Gauss-Newton
+    # polish where only inlier masks or a seed pose are consumed) or
+    # "full" (uniform 10-iteration polish, round-1 behavior)
+    "pnp_refine_mode": "tiered",
     # plane coverage images: "membership" (analytic image-space test,
     # TPU-native default) or "splat" (the reference's point splatting
     # with depth-adaptive blocks, src/GraphicEnd.cpp:390-420)

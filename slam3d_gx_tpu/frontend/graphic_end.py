@@ -132,6 +132,7 @@ class GraphicEnd:
         self.multipnp = pipeline.build_multipnp_planes(
             self.intr, error_threshold=self.error_threshold,
             hypotheses=self.hypotheses, match_floor=floor,
+            refine_mode=self.params.GetPara("pnp_refine_mode"),
         )
         self.batch_registrar = self._make_batch_registrar(image_only=False)
 
@@ -367,8 +368,18 @@ class GraphicEnd:
         self.index += 1
 
     # -- per-frame step ---------------------------------------------------------
+    def _sync_odometry(self):
+        """odo_this for the frame about to be processed (self.index).
+        Per-frame mode sets this at the previous run()'s tail; syncing
+        at entry computes the identical value and also covers entry
+        from the streaming chunk path or its per-frame fallbacks."""
+        if self.use_odometry and self.odometry:
+            self.odo_this = self.odometry[
+                min(self.index, len(self.odometry)) - 1]
+
     def run(self):
         self.drain_pending_loop_closures()
+        self._sync_odometry()
         present = self._take_or_extract_present()
         self.present = present
 
@@ -741,6 +752,7 @@ class GraphicEnd2(GraphicEnd):
 
     def run(self):
         self.drain_pending_loop_closures()
+        self._sync_odometry()
         present = self._take_or_extract_present()
         self.present = present
 

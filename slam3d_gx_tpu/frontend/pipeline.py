@@ -140,11 +140,11 @@ def build_plane_extractor(
         raise ValueError(f"plane_image_mode: {plane_image_mode!r}")
     if detect_scope not in ("frame", "plane"):
         raise ValueError(f"detect_scope: {detect_scope!r}")
-    detect = registry.create_detector(
-        detector_name, max_kp, unbatched=(detect_scope == "frame"))
     if detect_scope == "frame":
         global_detect = registry.create_detector(
             detector_name, frame_kp_budget or max_kp, unbatched=True)
+    else:
+        detect = registry.create_detector(detector_name, max_kp)
     describe = registry.create_descriptor(descriptor_name)
 
     @jax.jit
@@ -290,6 +290,7 @@ def build_multipnp_planes(
     hypotheses: int = 256,
     match_floor: float = 0.0,
     pooled_reproj: float = 8.0,
+    refine_mode: str = "tiered",
 ) -> Callable:
     """GraphicEnd::multiPnP (src/GraphicEnd.cpp:557-659).
 
@@ -299,7 +300,20 @@ def build_multipnp_planes(
     pooled_reproj: px threshold of the pooled global RANSAC — 8.0 in the
     frontend (GraphicEnd.cpp:595); exp1_2's MatchingPlanar reads it from
     `ransac_accuracy` (exp1_2.cpp:465-467).
+
+    refine_mode (config key `pnp_refine_mode`): "tiered" (default) skips
+    the Gauss-Newton polish in the per-plane solves (only their inlier
+    masks are consumed) and shortens it in the pooled solve (its pose
+    only seeds the 3px refine) — same inlier sets measured, ~1 ms/frame
+    less sequential latency; "full" restores the uniform 10-iteration
+    polish everywhere (round-1 behavior, matching cv::solvePnPRansac's
+    always-refine) for marginal scenes where the acceptance count sits
+    at the minimum_inliers boundary.
     """
+    if refine_mode not in ("tiered", "full"):
+        raise ValueError(f"refine_mode: {refine_mode!r}")
+    plane_iters = 0 if refine_mode == "tiered" else 10
+    pooled_iters = 4 if refine_mode == "tiered" else 10
 
     @jax.jit
     def multipnp(fa: FrameFeatures, fb: FrameFeatures, key, minimum_inliers):
@@ -325,7 +339,7 @@ def build_multipnp_planes(
             res_p = pnp.solve_pnp_ransac(
                 obj, img, good, intr.fx, intr.fy, intr.cx, intr.cy,
                 k, reproj_thresh=8.0, hypotheses=hypotheses,
-                refine_iters=0,
+                refine_iters=plane_iters,
             )
             return img, res_p.inliers & res_p.ok
 
@@ -345,7 +359,7 @@ def build_multipnp_planes(
         res1 = pnp.solve_pnp_ransac(
             obj, img, pooled, intr.fx, intr.fy, intr.cx, intr.cy,
             keys[P], reproj_thresh=pooled_reproj, hypotheses=hypotheses,
-            refine_iters=4,
+            refine_iters=pooled_iters,
         )
         n1 = res1.n_inliers
         have_any = pooled.sum() >= 3

@@ -36,19 +36,14 @@ not bit-for-bit (same contract as the reference's srand run-to-run).
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geometry import se3
 from ..io import images
-from . import pipeline
-from .graphic_end import GraphicEnd, GraphicEnd2, INFO_VISUAL
-from .state import FrameFeatures, Keyframe
+from .graphic_end import GraphicEnd, GraphicEnd2
 
 
 def _inv_se3(T):
@@ -162,9 +157,17 @@ class _StreamingMixin:
         done = 0
         while done < n_frames:
             want = min(self.chunk, n_frames - done)
-            indices = [self.index + i for i in range(want)]
-            indices = [i for i in indices if os.path.exists(
-                os.path.join(self.rgb_path, f"{i}.png"))]
+            # contiguous prefix only: a mid-sequence gap ends the run
+            # (the per-frame fallback would otherwise walk into the
+            # missing file), matching the 'stops at missing files'
+            # contract
+            indices = []
+            for i in range(want):
+                idx = self.index + i
+                if not os.path.exists(
+                        os.path.join(self.rgb_path, f"{idx}.png")):
+                    break
+                indices.append(idx)
             if not indices:
                 break
             if len(indices) < self.chunk:
@@ -200,11 +203,7 @@ class _StreamingMixin:
             new_kf = recs[j, 19] != 0.0
             lost_after = int(recs[j, 20])
             self.index = idx
-            if self.use_odometry and self.odometry:
-                # mirror run()'s bookkeeping: while processing frame idx,
-                # odo_this is the pose read after the previous frame
-                self.odo_this = self.odometry[
-                    min(idx, len(self.odometry)) - 1]
+            self._sync_odometry()
             if not ok and self.replay_on_fail:
                 # the per-frame lost branch (last-frame rescue) can
                 # promote keyframes the device scan didn't model —
@@ -226,18 +225,22 @@ class _StreamingMixin:
                 self.last = _take(feats, jnp.int32(j))
                 self.last_frame_index = idx
             applied += 1
-            self.index = idx + 1
             if self.lost > self.lost_frames:
                 # recovery mutates the graph and the reference keyframe;
                 # device results past this frame assumed no recovery —
-                # replay the rest through the per-frame path
+                # replay the rest through the per-frame path. NB: run()
+                # calls lost_recovery BEFORE its index increment, so the
+                # recovery keyframe must record frame_index == idx
+                # (self.index still at idx here).
                 feat_j = _take(feats, jnp.int32(j))
                 self.lost_recovery(feat_j)
+                self.index = idx + 1  # run()'s post-recovery increment
                 for k in range(j + 1, len(indices)):
                     self.index = indices[k]
                     self.run()
                     applied += 1
                 break
+            self.index = idx + 1
         return applied
 
     def _replay_from(self, j, indices, feats) -> int:
