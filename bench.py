@@ -163,7 +163,6 @@ def main() -> int:
         (kf_feat, kf_pos, robot, lost), recs = run_chunk(
             kf_feat, kf_pos, robot, lost, 0, key)
         log(f"compile+first chunk: {time.time() - t0:.1f}s")
-        kf_feat = jax.tree_util.tree_map(lambda x: x, kf_feat)
 
         n_chunks = max(1, n_timed // chunk)
         t0 = time.time()

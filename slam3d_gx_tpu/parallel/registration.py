@@ -128,8 +128,6 @@ class FeatureStore:
         self.chunk = chunk
         self.count = 0
         self.capacity = capacity
-        self._template = jax.tree.map(
-            lambda x: (tuple(x.shape), x.dtype), template)
         self._bufs = jax.tree.map(
             lambda x: jnp.zeros((capacity,) + tuple(x.shape), x.dtype),
             template)
@@ -193,19 +191,24 @@ class BatchedRegistrar:
             hypotheses=hypotheses, mesh=mesh, match_floor=match_floor,
         )
 
+    def _dispatch_stacked(self, fa: FrameFeatures, fb: FrameFeatures,
+                          key, min_inliers: int, n_valid: int):
+        """Launch one pre-stacked (chunk, ...) batch; returns a
+        (packed device array, n_valid) future for resolve_async."""
+        from ..frontend.state import pack_result
+
+        keys = jax.random.split(key, fa.uv.shape[0])
+        res = self.fn(fa, fb, keys, jnp.int32(min_inliers))
+        return pack_result(res), n_valid
+
     def run_stacked(self, fa: FrameFeatures, fb: FrameFeatures, key,
                     min_inliers: int, n_valid: int):
         """Register pre-stacked (chunk, ...) batches (FeatureStore
         gather/broadcast output) — zero eager shape-varying ops, so no
         recompiles as the keyframe set grows. Returns host tuples for
         the first n_valid rows."""
-        from ..frontend.state import pack_result, unpack_result_row
-
-        chunk = fa.uv.shape[0]
-        keys = jax.random.split(key, chunk)
-        res = self.fn(fa, fb, keys, jnp.int32(min_inliers))
-        packed = np.asarray(pack_result(res))  # ONE relay transfer
-        return [unpack_result_row(packed[i]) for i in range(n_valid)]
+        return resolve_async(
+            [self._dispatch_stacked(fa, fb, key, min_inliers, n_valid)])
 
     def run_against_one(self, store: "FeatureStore", indices, single,
                         key, min_inliers: int, single_is_target: bool = True):
@@ -222,8 +225,6 @@ class BatchedRegistrar:
         """Async variant: launch the chunked registrations and return a
         list of (packed device array, n_valid) futures — no host sync.
         Resolve later with resolve_async (one transfer per chunk)."""
-        from ..frontend.state import pack_result
-
         pending = []
         bcast = store.broadcast(single)
         for c0 in range(0, len(indices), store.chunk):
@@ -232,10 +233,8 @@ class BatchedRegistrar:
             fa, fb = ((gathered, bcast) if single_is_target
                       else (bcast, gathered))
             key, sub = jax.random.split(key)
-            chunk = fa.uv.shape[0]
-            keys = jax.random.split(sub, chunk)
-            res = self.fn(fa, fb, keys, jnp.int32(min_inliers))
-            pending.append((pack_result(res), len(part)))
+            pending.append(self._dispatch_stacked(
+                fa, fb, sub, min_inliers, len(part)))
         return pending
 
     def __call__(self, pairs, key, min_inliers: int, pad_to: int = 32):
