@@ -63,23 +63,13 @@ def flops_model(h, w, detector, max_kp, hypotheses, n_planes,
 
 
 def enable_compile_cache(jax):
-    """Persistent compile cache keyed on the exact platform build.
+    """Persistent compile cache keyed on the exact platform build, now
+    repo-local and pre-seeded (utils/compile_cache.py): a fresh checkout
+    on the same platform build starts warm. Opt out with
+    BENCH_NO_CACHE=1 / SLAM3D_NO_CACHE=1."""
+    from slam3d_gx_tpu.utils import compile_cache
 
-    Round 1 disabled this after a SIGILL from loading an AOT executable
-    compiled on a different machine; keying the cache directory on the
-    backend's platform_version (libtpu build string / CPU client
-    version) makes entries unloadable across toolchain changes instead
-    of silently wrong. Opt out with BENCH_NO_CACHE=1.
-    """
-    if os.environ.get("BENCH_NO_CACHE"):
-        return
-    import hashlib
-
-    ver = jax.devices()[0].client.platform_version
-    key = hashlib.sha1(ver.encode()).hexdigest()[:12]
-    path = f"/tmp/slam3d_xla_cache_{jax.default_backend()}_{key}"
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    path = compile_cache.enable(jax)
     log(f"compile cache: {path}")
 
 

@@ -5,7 +5,10 @@ ATE/RPE scored with the TUM tools (the BASELINE.md protocol).
 Prints one JSON line: {"ate_rmse_m", "rpe_trans_rmse_m", "keyframes",
 "loop_closures", "frames"}.
 
-Usage: python benchmarks/quality_e2e.py [n_frames] [detector]
+Usage: python benchmarks/quality_e2e.py [n_frames] [detector] [descriptor]
+Env knobs (for the detector-zoo matrix and the frame-scope starvation
+sweep, VERDICT r2 #3/#8): QUALITY_MAXKP (256), QUALITY_BUDGET
+(frame_kp_budget, 0), QUALITY_SCOPE (frame|plane), QUALITY_HYP (128).
 """
 
 from __future__ import annotations
@@ -27,6 +30,17 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     n_frames = int(argv[0]) if argv else 40
     detector = argv[1] if len(argv) > 1 else "GFTT"
+    descriptor = argv[2] if len(argv) > 2 else "SIFT"
+    max_kp = int(os.environ.get("QUALITY_MAXKP", "256"))
+    budget = int(os.environ.get("QUALITY_BUDGET", "0"))
+    scope = os.environ.get("QUALITY_SCOPE", "frame")
+    hyp = int(os.environ.get("QUALITY_HYP", "128"))
+
+    import jax
+
+    from slam3d_gx_tpu.utils import compile_cache
+
+    compile_cache.enable(jax)
 
     from slam3d_gx_tpu.backend import SLAMEnd
     from slam3d_gx_tpu.cli import generate_trajectory
@@ -46,11 +60,13 @@ def main(argv=None) -> int:
     synthetic.write_dataset(root, scene, traj, intr, write_pcd=True)
 
     params = ParameterReader(None, overrides=dict(
-        data_source=root, detector_name=detector, descriptor_name="SIFT",
+        data_source=root, detector_name=detector,
+        descriptor_name=descriptor,
         camera_fx=intr.fx, camera_fy=intr.fy, camera_cx=intr.cx,
         camera_cy=intr.cy, camera_factor=intr.factor,
-        max_keypoints=256, ransac_hypotheses=128,
+        max_keypoints=max_kp, ransac_hypotheses=hyp,
         max_pos_change=0.05, grid_leaf=0.05,
+        detect_scope=scope, frame_kp_budget=budget,
     ))
     ge = GraphicEnd(params, data_dir=datadir)
     slam = SLAMEnd()
@@ -104,6 +120,10 @@ def main(argv=None) -> int:
         "loop_closures": n_lc,
         "frames": n_frames,
         "detector": detector,
+        "descriptor": descriptor,
+        "max_kp": max_kp,
+        "frame_kp_budget": budget,
+        "detect_scope": scope,
     }))
     return 0
 

@@ -98,14 +98,20 @@ def _edge_terms(poses, e_i, e_j, e_Zinv, e_info, e_robust, e_valid,
     ir = jnp.einsum("eab,eb->ea", e_info, r, precision=_HI)
     chi = jnp.sum(r * ir, axis=1)
     if kernel == _KERNEL_CAUCHY:
-        # w = rho'(chi) = 1 / (1 + chi/delta^2)
+        # w = rho'(chi) = 1 / (1 + chi/delta^2); rho = d^2 log(1 + chi/d^2)
         wr = 1.0 / (1.0 + chi / (delta**2))
+        rho = delta**2 * jnp.log1p(chi / (delta**2))
     elif kernel == _KERNEL_HUBER:
-        # g2o Huber: rho' = 1 inside delta, delta/|e| outside
+        # g2o Huber: rho' = 1 inside delta, delta/|e| outside;
+        # rho = chi inside, 2*delta*sqrt(chi) - delta^2 outside
         wr = jnp.where(chi <= delta**2, 1.0,
                        delta / jnp.sqrt(jnp.maximum(chi, 1e-12)))
+        rho = jnp.where(chi <= delta**2, chi,
+                        2.0 * delta * jnp.sqrt(jnp.maximum(chi, 1e-12))
+                        - delta**2)
     else:
         wr = jnp.ones_like(chi)
+        rho = chi
     w = jnp.where(e_robust, wr, 1.0)
     w = jnp.where(e_valid, w, 0.0)
     info_w = e_info * w[:, None, None]
@@ -115,7 +121,11 @@ def _edge_terms(poses, e_i, e_j, e_Zinv, e_info, e_robust, e_valid,
     Bij = jnp.einsum("eka,ekl,elb->eab", Jii, info_w, Jjj, precision=_HI)
     g_i = jnp.einsum("eka,ekl,el->ea", Jii, info_w, r, precision=_HI)
     g_j = jnp.einsum("eka,ekl,el->ea", Jjj, info_w, r, precision=_HI)
-    chi_total = jnp.sum(jnp.where(e_valid, w * chi, 0.0))
+    # chi_total mirrors g2o's activeRobustChi2: robust edges contribute
+    # rho(chi), plain edges chi — both for the LM accept/plateau logic
+    # and the returned final chi2 (g2o robust_kernel.cpp robustify).
+    chi_e = jnp.where(e_robust, rho, chi)
+    chi_total = jnp.sum(jnp.where(e_valid, chi_e, 0.0))
     return chi_total, Bii, Bjj, Bij, g_i, g_j
 
 

@@ -71,6 +71,11 @@ def _plane_images_np(depth, gray, coeffs, valids, intr, dist_thresh, z_max):
 
 
 def main(argv=None) -> int:
+    import jax
+
+    from ..utils import compile_cache
+
+    compile_cache.enable(jax)
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) != 5:
         print("usage: exp1 frame1 frame2 detector descriptor p/n")

@@ -43,6 +43,11 @@ def run(graphic_end_cls, argv=None) -> int:
 
 
 def main(argv=None) -> int:
+    import jax
+
+    from ..utils import compile_cache
+
+    compile_cache.enable(jax)
     return run(GraphicEnd, argv)
 
 

@@ -11,6 +11,11 @@ from .run_slam import run
 
 
 def main(argv=None) -> int:
+    import jax
+
+    from ..utils import compile_cache
+
+    compile_cache.enable(jax)
     return run(GraphicEnd2, argv)
 
 

@@ -20,6 +20,11 @@ from ..frontend.streaming import StreamingGraphicEnd, StreamingGraphicEnd2
 
 
 def main(argv=None) -> int:
+    import jax
+
+    from ..utils import compile_cache
+
+    compile_cache.enable(jax)
     argv = list(sys.argv[1:] if argv is None else argv)
     loops = int(argv[0]) if argv else 3
     chunk = int(argv[1]) if len(argv) > 1 else 8

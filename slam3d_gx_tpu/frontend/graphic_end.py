@@ -113,6 +113,12 @@ class GraphicEnd:
         self._errorfile = None
         self._lcfile = None
         self._pending_lc = []  # async loop-closure rounds awaiting drain
+        # drain lazily: nothing in the frontend reads loop edges before
+        # lostRecovery/finalize, so rounds accumulate and are resolved in
+        # batched transfers once this many are pending (each drain is at
+        # least one ~28 ms relay sync; draining every frame was the
+        # single largest per-keyframe wall cost in streaming mode)
+        self.lc_drain_threshold = 24
         self._check_cache = {}  # (k1,k2) -> (passed, T) pair verdicts
 
     # -- construction ------------------------------------------------------
@@ -378,7 +384,7 @@ class GraphicEnd:
                 min(self.index, len(self.odometry)) - 1]
 
     def run(self):
-        self.drain_pending_loop_closures()
+        self.maybe_drain_loop_closures()
         self._sync_odometry()
         present = self._take_or_extract_present()
         self.present = present
@@ -466,18 +472,63 @@ class GraphicEnd:
             self.odo_last = self.odo_this
 
     # -- loop closure -------------------------------------------------------
+    # first N rows of a fused round are the deterministic -3/-4 checks
+    # (record=False, reference src/GraphicEnd.cpp:694-725)
+    _LC_N_DET = 2
+
+    def maybe_drain_loop_closures(self):
+        """Drain only once enough rounds are pending (lazy policy, see
+        lc_drain_threshold). Deferred resolution is observation-
+        equivalent: no frontend path reads loop edges before
+        lostRecovery/finalize, which drain unconditionally."""
+        if len(self._pending_lc) >= self.lc_drain_threshold:
+            self.drain_pending_loop_closures()
+
     def drain_pending_loop_closures(self):
-        """Resolve asynchronously dispatched loop-closure rounds (one
-        relay transfer per chunk) and apply their edges/logs. Called at
-        the top of run(), before lostRecovery's scan, and at save time —
-        deferred resolution is observation-equivalent because no
-        frontend path reads the loop edges before finalize."""
+        """Resolve asynchronously dispatched loop-closure rounds and
+        apply their edges/logs. All pending rounds' device arrays are
+        fetched in batched transfers (parallel/registration.fetch_all),
+        so a drain of N rounds costs ~N/8 relay syncs, not N."""
         if not self._pending_lc:
             return
-        from ..parallel.registration import resolve_async
+        from ..parallel.registration import fetch_all
+        from .state import unpack_result_row
 
-        for cand, records, kf, pending in self._pending_lc:
-            results = resolve_async(pending)
+        arrs = []
+        for ent in self._pending_lc:
+            if ent[0] == "fused":
+                arrs.append(ent[2])
+            else:
+                arrs.extend(packed for packed, _ in ent[4])
+        fetched = iter(fetch_all(arrs))
+
+        for ent in self._pending_lc:
+            if ent[0] == "fused":
+                _, kf, _ = ent
+                rows = next(fetched)
+                for i in range(rows.shape[0]):
+                    row = rows[i]
+                    if row[20] == 0.0:  # padded/ineligible candidate
+                        continue
+                    T, norm, inl, ok = unpack_result_row(row)
+                    ki = int(row[19])
+                    if (not ok) or norm > self.loop_closure_error \
+                            or inl < self.loop_closure_inliers:
+                        continue
+                    if i >= self._LC_N_DET:  # ranked draw -> record
+                        self.display_lc(self.keyframes[ki].frame_index,
+                                        kf.frame_index, norm, inl)
+                        kf.connect.append(ki)
+                    self.opt.add_edge(self.keyframes[ki].id, kf.id,
+                                      se3.inverse(T), INFO_VISUAL,
+                                      robust=True)
+                continue
+            _, cand, records, kf, pending = ent
+            results = []
+            for _, n_valid in pending:
+                arr = next(fetched)
+                results.extend(
+                    unpack_result_row(arr[i]) for i in range(n_valid))
             for i, record, (T, norm, inl, ok) in zip(cand, records, results):
                 if (not ok) or norm > self.loop_closure_error \
                         or inl < self.loop_closure_inliers:
@@ -514,6 +565,21 @@ class GraphicEnd:
         # reference samples uniformly at random; with `loop_closure_scored`
         # the draws come from the sharded keyframe database ranked by
         # descriptor-match score instead (parallel/lcdb.py, SURVEY.md §5.7)
+        if (self.lcdb is not None and self.batch_registrar is not None
+                and self.kf_store is not None and self.lcdb.count > 3):
+            # fully-fused round: scoring, top-k draw, -3/-4 checks,
+            # feature gather and batched verification all happen in one
+            # on-device dispatch chain with ZERO host syncs; the packed
+            # (B,21) result (rows carry their candidate index) drains
+            # lazily like every other round
+            idx_dev, valid_dev = self.lcdb.select_candidates_device(
+                self.curr_kf.features, self.loopclosure_frames,
+                n_det=self._LC_N_DET)
+            packed = self.batch_registrar.dispatch_fused(
+                self.kf_store, idx_dev, valid_dev, self.curr_kf.features,
+                self.next_key(), self.loop_closure_inliers)
+            self._pending_lc.append(("fused", self.keyframes[-1], packed))
+            return
         nearby = [len(self.keyframes) + i
                   for i in (-3, -4) if len(self.keyframes) + i >= 0]
         checked: List[int] = []
@@ -546,7 +612,7 @@ class GraphicEnd:
                 self.next_key(), self.loop_closure_inliers,
             )
             self._pending_lc.append(
-                (cand, records, self.keyframes[-1], pending))
+                ("explicit", cand, records, self.keyframes[-1], pending))
             return
 
         for n in nearby:
@@ -751,7 +817,7 @@ class GraphicEnd2(GraphicEnd):
         return self.extract_img(self.curr_gray, self.curr_depth)
 
     def run(self):
-        self.drain_pending_loop_closures()
+        self.maybe_drain_loop_closures()
         self._sync_odometry()
         present = self._take_or_extract_present()
         self.present = present

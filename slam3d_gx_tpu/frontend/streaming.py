@@ -123,6 +123,19 @@ class _StreamingMixin:
         self.chunk = chunk
         self._tracker = None
 
+    def _frame_files_exist(self, idx: int) -> bool:
+        """Contiguous-prefix probe. The plane frontend also requires the
+        frame's PCD: the chunk path never reads it (clouds come from
+        on-device backprojection) but the per-frame fallback/replay
+        paths do — a PNG-present/PCD-missing frame must stop the run
+        cleanly here instead of crashing in read_pcd mid-replay."""
+        if not os.path.exists(os.path.join(self.rgb_path, f"{idx}.png")):
+            return False
+        if self.replay_on_fail and not self.image_only:
+            return os.path.exists(
+                os.path.join(self.pcl_path, f"{idx}.pcd"))
+        return True
+
     def _ensure_tracker(self):
         if self._tracker is None:
             self._tracker = build_tracker(
@@ -152,48 +165,91 @@ class _StreamingMixin:
 
     def run_streaming(self, n_frames: int) -> int:
         """Process up to n_frames (stops at missing files). Returns the
-        number of frames actually processed."""
+        number of frames actually processed.
+
+        Double-buffered: chunk k+1 is loaded and DISPATCHED (using chunk
+        k's device carry — no host sync needed) before chunk k's records
+        are read back and applied, so the device tracks k+1 while the
+        host does k's bookkeeping/IO. If applying chunk k diverges from
+        the device scan (per-frame replay or lostRecovery), the
+        speculative dispatch used a stale carry and is re-dispatched
+        from the corrected host state (failure-path only; results of
+        the stale dispatch are discarded unread)."""
         self._ensure_tracker()
         done = 0
-        while done < n_frames:
-            want = min(self.chunk, n_frames - done)
+        inflight = None
+        next_fetch = self.index
+        while True:
+            started = len(inflight["indices"]) if inflight else 0
             # contiguous prefix only: a mid-sequence gap ends the run
             # (the per-frame fallback would otherwise walk into the
             # missing file), matching the 'stops at missing files'
             # contract
             indices = []
-            for i in range(want):
-                idx = self.index + i
-                if not os.path.exists(
-                        os.path.join(self.rgb_path, f"{idx}.png")):
-                    break
-                indices.append(idx)
-            if not indices:
+            if n_frames - done - started >= self.chunk:
+                for i in range(self.chunk):
+                    idx = next_fetch + i
+                    if not self._frame_files_exist(idx):
+                        break
+                    indices.append(idx)
+            nxt = None
+            if len(indices) == self.chunk:
+                carry = inflight["carry"] if inflight else None
+                nxt = self._dispatch_chunk(indices, carry=carry)
+                next_fetch = indices[-1] + 1
+            if inflight is not None:
+                applied, clean = self._process_chunk(inflight)
+                done += applied
+                if not clean and nxt is not None:
+                    # host state diverged from the device scan: redo the
+                    # speculative dispatch with the corrected carry
+                    # (frames stay cached; only the dispatch repeats)
+                    nxt = self._dispatch_chunk(
+                        nxt["indices"], frames=nxt["frames"])
+            inflight = nxt
+            if inflight is None:
                 break
-            if len(indices) < self.chunk:
-                # partial tail: the fixed-shape tracker would recompile;
-                # fall back to the per-frame path
-                for _ in indices:
-                    self.run()
-                    done += 1
-                continue
-            done += self._run_chunk(indices)
+        # tail: fewer than chunk frames remain (or a gap broke the
+        # prefix) — the fixed-shape tracker would recompile, so finish
+        # through the exact per-frame path
+        while done < n_frames and self._frame_files_exist(self.index):
+            self.run()
+            done += 1
         return done
 
-    def _run_chunk(self, indices) -> int:
-        self.drain_pending_loop_closures()
-        grays, depths = self._load_frames(indices)
+    def _dispatch_chunk(self, indices, carry=None, frames=None):
+        """Load (or reuse) the chunk's frames and launch the tracker.
+        carry: device carry from the previous chunk's tracker output;
+        None reads the host state (first chunk / post-divergence)."""
+        if frames is None:
+            frames = self._load_frames(indices)
+        grays, depths = frames
+        if carry is None:
+            carry = (
+                self.curr_kf.features,
+                jnp.asarray(self.kf_pos, jnp.float32),
+                jnp.asarray(self.robot, jnp.float32),
+                jnp.int32(self.lost),
+            )
         keys = jax.random.split(self.next_key(), self.chunk)
-        carry, feats, recs = self._tracker(
-            self.curr_kf.features,
-            jnp.asarray(self.kf_pos, jnp.float32),
-            jnp.asarray(self.robot, jnp.float32),
-            jnp.int32(self.lost),
+        carry_out, feats, recs = self._tracker(
+            *carry,
             jnp.asarray(grays),   # u8: half the relay upload
             jnp.asarray(depths),  # u16
             keys,
         )
-        recs = np.asarray(recs)  # ONE readback per chunk
+        return {"indices": indices, "frames": frames, "carry": carry_out,
+                "feats": feats, "recs": recs}
+
+    def _process_chunk(self, chunk_state) -> tuple:
+        """Apply one tracked chunk's records host-side. Returns
+        (frames_applied, clean) — clean=False when the per-frame
+        replay/recovery path ran (host state no longer matches the
+        device carry)."""
+        self.maybe_drain_loop_closures()
+        indices = chunk_state["indices"]
+        feats = chunk_state["feats"]
+        recs = np.asarray(chunk_state["recs"])  # ONE readback per chunk
 
         applied = 0
         for j, idx in enumerate(indices):
@@ -209,7 +265,7 @@ class _StreamingMixin:
                 # promote keyframes the device scan didn't model —
                 # replay from here through the exact per-frame path
                 applied += self._replay_from(j, indices, feats)
-                return applied
+                return applied, False
             if not ok:
                 self._log("error_of_transform.log", "9999\n")
                 self.lost = lost_after
@@ -239,9 +295,9 @@ class _StreamingMixin:
                     self.index = indices[k]
                     self.run()
                     applied += 1
-                break
+                return applied, False
             self.index = idx + 1
-        return applied
+        return applied, True
 
     def _replay_from(self, j, indices, feats) -> int:
         """Re-run frames indices[j:] through the per-frame path. `last`
@@ -296,11 +352,24 @@ class StreamingGraphicEnd(_StreamingMixin, GraphicEnd):
         self._init_streaming(chunk)
 
     def _make_extract_fn(self):
+        from . import pipeline
         from ..ops import pointcloud
 
         extract = self.extract
         intr = self.intr
         z_filter = self.z_filter
+        # config escape hatches (readimage honors them on the per-frame
+        # path; the chunked extract must match or the two paths silently
+        # mix cloud-preprocessing semantics within one run):
+        # - voxel_downsample_clouds: applied below, same fixed capacity
+        #   as readimage (4x the extractor's point budget);
+        # - align_cloud_scale is a no-op by construction here: the chunk
+        #   path backprojects the frame's own depth image, so cloud and
+        #   depth units are identical (the knob exists for PCD files
+        #   written with a different depth factor, ops/pointcloud.
+        #   estimate_depth_scale).
+        voxel = self.voxel_downsample_clouds
+        grid_leaf = self.grid_leaf
 
         def ext(gray, depth, key):
             xyz, valid = pointcloud.backproject(
@@ -308,6 +377,10 @@ class StreamingGraphicEnd(_StreamingMixin, GraphicEnd):
             xyz = xyz.reshape(-1, 3)
             valid = pointcloud.passthrough_z(
                 xyz, valid.reshape(-1), 0.0, z_filter)
+            if voxel:
+                xyz, _, valid = pointcloud.voxel_downsample(
+                    xyz, jnp.zeros_like(xyz), valid, grid_leaf,
+                    capacity=min(xyz.shape[0], 4 * pipeline.PLANE_POINTS))
             return extract(gray, depth, xyz, valid, key)
 
         return ext

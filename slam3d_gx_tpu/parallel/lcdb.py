@@ -74,6 +74,34 @@ def score_block(db_desc, db_valid, q_desc, q_valid, floor):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_det", "k"))
+def _select_candidates(db_desc, db_valid, q_desc, q_valid, floor, count,
+                       n_det: int, k: int):
+    """On-device loop-closure candidate selection: scores over the full
+    capacity (masked to the eligible prefix), top-k draw, plus the
+    deterministic newest-(-3,-4) checks — no host sync anywhere (the
+    host-side top_candidates costs one ~28 ms relay readback per
+    keyframe, the single largest fixed cost of a streamed LC round).
+
+    Returns ((n_det + k,) int32 candidate indices, (n_det + k,) bool
+    valid). Candidate order mirrors the host path: deterministic checks
+    first (record=False rows), ranked draws after (record=True rows).
+    Eligibility matches the reference sampler's exclusion of the 3
+    newest keyframes (src/GraphicEnd.cpp:731)."""
+    s = score_block(db_desc, db_valid, q_desc, q_valid, floor)
+    cap = s.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    eligible = idx < (count - 3)
+    s = jnp.where(eligible, s, -jnp.inf)
+    top_s, top_i = jax.lax.top_k(s, k)
+    top_valid = jnp.isfinite(top_s)
+    det = count - 3 - jnp.arange(n_det, dtype=jnp.int32)
+    det_valid = det >= 0
+    cand = jnp.concatenate([det, top_i.astype(jnp.int32)])
+    valid = jnp.concatenate([det_valid, top_valid])
+    return cand, valid
+
+
 class KeyframeDatabase:
     """Fixed-capacity, device-resident keyframe descriptor store.
 
@@ -118,12 +146,12 @@ class KeyframeDatabase:
         self.desc, self.valid = desc, valid
 
     def _grow(self):
-        old_desc = np.asarray(self.desc)
-        old_valid = np.asarray(self.valid)
+        # device-side doubling (FeatureStore-style concatenate): a host
+        # round-trip here would cost two relay syncs + a full database
+        # re-upload per doubling (multi-seconds at grown sizes)
         self.capacity *= 2
-        self._alloc(self.capacity)
-        d = jnp.asarray(self.desc).at[: old_desc.shape[0]].set(old_desc)
-        v = jnp.asarray(self.valid).at[: old_valid.shape[0]].set(old_valid)
+        d = jnp.concatenate([self.desc, jnp.zeros_like(self.desc)], axis=0)
+        v = jnp.concatenate([self.valid, jnp.zeros_like(self.valid)], axis=0)
         if self._sharding is not None:
             d = jax.device_put(d, self._sharding)
             v = jax.device_put(v, self._sharding)
@@ -152,6 +180,19 @@ class KeyframeDatabase:
         s = score_block(self.desc, self.valid, qd, qv,
                         jnp.float32(self.match_floor))
         return np.asarray(s)[: self.count]
+
+    def select_candidates_device(self, query: FrameFeatures, n: int,
+                                 n_det: int = 2):
+        """Async variant of top_candidates fused with the deterministic
+        -3/-4 checks: returns ((n_det+n,) int32 idx, (n_det+n,) bool
+        valid) DEVICE arrays — zero host syncs; the caller threads them
+        into a gather + batched verification and reads everything back
+        in one deferred transfer (frontend loop_closure fused path)."""
+        qd, qv = _flatten(query)
+        return _select_candidates(
+            self.desc, self.valid, qd, qv,
+            jnp.float32(self.match_floor), jnp.int32(self.count),
+            n_det=n_det, k=n)
 
     def top_candidates(self, query: FrameFeatures, n: int,
                        exclude_newest: int = 3) -> list:

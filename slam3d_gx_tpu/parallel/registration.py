@@ -98,6 +98,18 @@ def build_batched_multipnp(
     return fn
 
 
+@jax.jit
+def _pack_with_meta(packed, idx, valid):
+    """(B,19) packed results + (B,) idx + (B,) valid -> (B,21) — ONE
+    array so the deferred drain pays a single relay transfer for the
+    whole fused round (results AND which keyframes they belong to)."""
+    return jnp.concatenate([
+        packed,
+        idx.astype(jnp.float32)[:, None],
+        valid.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
 def resolve_async(pending):
     """Materialize dispatch_against_one's futures: one relay transfer
     per chunk, rows unpacked to (T, norm, inliers, ok) host tuples."""
@@ -107,6 +119,32 @@ def resolve_async(pending):
     for packed, n_valid in pending:
         arr = np.asarray(packed)
         out.extend(unpack_result_row(arr[i]) for i in range(n_valid))
+    return out
+
+
+# transfer-batching group size for fetch_all: one device-side stack of G
+# same-shaped arrays per relay sync instead of G syncs
+_FETCH_GROUP = 8
+
+
+def fetch_all(arrs):
+    """Transfer a list of device arrays with ~len/_FETCH_GROUP relay
+    syncs instead of one per array (each np.asarray through the relay
+    costs ~28 ms of pure latency): same-shaped arrays are stacked on
+    device in fixed-size groups (fixed so the eager stack compiles once
+    per element shape) and fetched in one transfer per group. Returns
+    host np arrays in input order."""
+    out = [None] * len(arrs)
+    groups = {}
+    for i, a in enumerate(arrs):
+        groups.setdefault(tuple(a.shape), []).append(i)
+    for idxs in groups.values():
+        for c0 in range(0, len(idxs), _FETCH_GROUP):
+            part = idxs[c0:c0 + _FETCH_GROUP]
+            pad = part + [part[0]] * (_FETCH_GROUP - len(part))
+            stacked = np.asarray(jnp.stack([arrs[i] for i in pad]))
+            for k, i in enumerate(part):
+                out[i] = stacked[k]
     return out
 
 
@@ -136,16 +174,19 @@ class FeatureStore:
             return jax.tree.map(lambda b, x: b.at[i].set(x), bufs, f)
 
         def _gather(bufs, idx):
-            return jax.tree.map(lambda b: b[idx], bufs)
+            # clamp: device-selected indices carry -1/invalid rows that
+            # the caller masks out after readback
+            return jax.tree.map(
+                lambda b: b[jnp.clip(idx, 0, b.shape[0] - 1)], bufs)
 
-        def _bcast(f):
+        def _bcast(f, n: int):
             return jax.tree.map(
                 lambda x: jnp.broadcast_to(
-                    x[None], (chunk,) + tuple(x.shape)), f)
+                    x[None], (n,) + tuple(x.shape)), f)
 
         self._set = jax.jit(_set, donate_argnums=0)
         self._gather = jax.jit(_gather)
-        self._bcast = jax.jit(_bcast)
+        self._bcast = jax.jit(_bcast, static_argnames="n")
 
     def add(self, f: FrameFeatures) -> int:
         if self.count == self.capacity:
@@ -166,9 +207,16 @@ class FeatureStore:
         idx[: len(indices)] = np.asarray(indices, np.int32)
         return self._gather(self._bufs, jnp.asarray(idx))
 
-    def broadcast(self, f: FrameFeatures) -> FrameFeatures:
-        """One frame -> (chunk, ...) replicated batch."""
-        return self._bcast(f)
+    def gather_dev(self, idx_dev) -> FrameFeatures:
+        """Device-index gather: (B,) int32 device array (e.g. the fused
+        loop-closure round's on-device top-k) -> (B, ...) batch, no host
+        sync; out-of-range/invalid rows come back clamped and must be
+        masked by the caller."""
+        return self._gather(self._bufs, idx_dev)
+
+    def broadcast(self, f: FrameFeatures, n: Optional[int] = None) -> FrameFeatures:
+        """One frame -> (n or chunk, ...) replicated batch."""
+        return self._bcast(f, n=self.chunk if n is None else n)
 
 
 class BatchedRegistrar:
@@ -218,6 +266,23 @@ class BatchedRegistrar:
         (single, store[i]) (checknearby's outward walk)."""
         return resolve_async(self.dispatch_against_one(
             store, indices, single, key, min_inliers, single_is_target))
+
+    def dispatch_fused(self, store: "FeatureStore", idx_dev, valid_dev,
+                       single, key, min_inliers: int):
+        """Fully on-device loop-closure round: candidate indices arrive
+        as a DEVICE array (lcdb.select_candidates_device output), are
+        gathered straight out of the feature store and verified against
+        the broadcast query — zero host syncs end to end. Returns one
+        (B, 21) packed device array ([:19] result row, [19] candidate
+        index, [20] valid flag) for a deferred single-transfer drain."""
+        from ..frontend.state import pack_result
+
+        b = idx_dev.shape[0]
+        gathered = store.gather_dev(idx_dev)
+        bcast = store.broadcast(single, n=b)
+        keys = jax.random.split(key, b)
+        res = self.fn(gathered, bcast, keys, jnp.int32(min_inliers))
+        return _pack_with_meta(pack_result(res), idx_dev, valid_dev)
 
     def dispatch_against_one(self, store: "FeatureStore", indices, single,
                              key, min_inliers: int,

@@ -142,6 +142,31 @@ def render_frame(
     return np.clip(np.round(gray), 0, 255).astype(np.uint8), depth_raw
 
 
+def multi_loop_trajectory(n: int, laps: int = 4, radius: float = 0.35,
+                          yaw_amp: float = 0.15,
+                          drift: float = 0.03) -> List[np.ndarray]:
+    """Loop-rich long trajectory: `laps` passes around the room with a
+    slowly drifting center and breathing radius, so later laps REVISIT
+    earlier viewpoints nearby-but-not-exactly — the regime of the
+    reference's captured fr1 run (117 keyframes / 22 loop closures,
+    /root/reference/data/keyframe.txt) where loop closure and
+    findMoreLoops actually have work to do."""
+    out = []
+    for i in range(n):
+        s = i / n
+        a = 2 * np.pi * laps * s
+        r = radius * (1.0 + 0.1 * np.sin(2 * np.pi * s))
+        t = np.array([
+            r * np.sin(a),
+            0.05 * np.sin(2 * a) + drift * np.sin(2 * np.pi * s),
+            0.15 * (1 - np.cos(a)) + drift * s,
+        ])
+        yaw = yaw_amp * np.sin(a)
+        R = se3.axis_angle_matrix(yaw, np.array([0.0, 1.0, 0.0]))
+        out.append(se3.make_isometry(R, t))
+    return out
+
+
 def orbit_trajectory(n: int, radius: float = 0.25, yaw_amp: float = 0.12) -> List[np.ndarray]:
     """Small loop: camera translates on a circle and yaws, returning to
     (near) the start — guarantees revisits for loop closure."""

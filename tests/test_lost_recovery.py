@@ -125,6 +125,9 @@ def test_scored_loop_closure_mode(dataset_with_blackout, tmp_path_factory):
         ge.run()
     assert ge.lcdb is not None
     assert ge.lcdb.count == len(ge.keyframes)
+    # fused rounds resolve lazily (lc_drain_threshold); nothing reads
+    # loop edges before recovery/finalize, which drain unconditionally
+    ge.drain_pending_loop_closures()
     lc = os.path.join(datadir, "lc.txt")
     assert os.path.exists(lc)
     rows = [r for r in open(lc).read().splitlines() if r.strip()]

@@ -244,3 +244,153 @@ def test_posegraph_sharded_cg():
         np.testing.assert_allclose(
             opt_a.vertex_estimate(i)[:3, 3], tb, atol=5e-3)
         assert np.linalg.norm(tb - gt[i][:3, 3]) < 0.05
+
+
+def test_lcdb_grow_is_device_side_and_score_stable():
+    """VERDICT r2 #6: _grow must not round-trip the database through
+    host numpy (multi-second hiccup per doubling over the relay), and
+    scores must be bit-identical across a doubling."""
+    rng = np.random.default_rng(23)
+    db = lcdb.KeyframeDatabase(n_desc=96, dim=32, capacity=4)
+    frames = []
+    for _ in range(4):  # fill to capacity exactly
+        pts, uv_a, _, desc, _ = _synthetic_pair(rng)
+        f = _features(pts, uv_a, desc)
+        frames.append(f)
+        db.add(f)
+    q = frames[2]
+    before = db.scores(q).copy()
+
+    # adding one more forces the doubling; no device->host transfer may
+    # happen inside it (the old _grow np.asarray'd the whole database)
+    pts, uv_a, _, desc, _ = _synthetic_pair(rng)
+    f5 = _features(pts, uv_a, desc)
+    with jax.transfer_guard_device_to_host("disallow"):
+        db.add(f5)
+    assert db.capacity == 8 and db.count == 5
+    after = db.scores(q)
+    np.testing.assert_array_equal(before, after[:4])
+
+
+def test_lcdb_device_select_matches_host_topk():
+    """The fused loop-closure round's on-device candidate selection
+    (scores -> masked top-k + deterministic -3/-4 rows) must agree with
+    the host top_candidates path it replaces."""
+    rng = np.random.default_rng(31)
+    db = lcdb.KeyframeDatabase(n_desc=96, dim=32, capacity=16)
+    frames = []
+    for _ in range(9):
+        pts, uv_a, _, desc, _ = _synthetic_pair(rng)
+        f = _features(pts, uv_a, desc)
+        frames.append(f)
+        db.add(f)
+    q = frames[3]
+    n = 4
+    host = db.top_candidates(q, n)
+    idx_dev, valid_dev = db.select_candidates_device(q, n)
+    idx = np.asarray(idx_dev)
+    valid = np.asarray(valid_dev)
+    assert idx.shape == (2 + n,)
+    # deterministic -3/-4 checks first (record=False rows)
+    assert idx[0] == db.count - 3 and idx[1] == db.count - 4
+    assert valid[0] and valid[1]
+    # ranked draws match the host ranking
+    assert [int(i) for i in idx[2:2 + len(host)]] == host
+    assert valid[2:2 + len(host)].all()
+    # over-asking pads with invalid rows
+    idx2, valid2 = db.select_candidates_device(q, db.count + 5)
+    v2 = np.asarray(valid2)
+    assert v2[2:].sum() == db.count - 3  # only eligible prefix is real
+
+
+def _plane_pair(rng, p=3, k=96, d_dim=32, rot_deg=3.0, t=0.05):
+    """P planes of k keypoints each, seen from two poses with exact
+    correspondences and consistently transformed plane coefficients."""
+    ang = np.deg2rad(rot_deg)
+    R = se3.rodrigues(np.array([0.0, ang, 0.0]))
+    tv = np.array([t, 0.0, 0.01])
+    normals = np.stack([
+        [0.0, 0.0, -1.0],         # back wall
+        [-0.95, 0.0, -0.31],      # left-ish wall
+        [0.0, -0.95, -0.31],      # floor-ish
+    ])[:p]
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    ds = np.array([3.0, 2.5, 2.2])[:p]
+    coeffs_a, coeffs_b = [], []
+    uv_a, uv_b, pts_a = [], [], []
+    for i in range(p):
+        n, d0 = normals[i], ds[i]
+        # sample points on the plane n.x + d0 = 0 inside the camera view
+        e1 = np.cross(n, [0.0, 1.0, 0.0])
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(n, e1)
+        base = -d0 * n
+        pts = base + rng.uniform(-0.8, 0.8, (k, 1)) * e1 \
+            + rng.uniform(-0.8, 0.8, (k, 1)) * e2
+        pts[:, 2] = np.clip(pts[:, 2], 1.2, 4.0)
+        # re-project z-clipped points back onto the plane along z
+        off = (pts @ n + d0) / n[2] if abs(n[2]) > 1e-6 else 0.0
+        pts[:, 2] -= off
+        pts_b = pts @ R.T + tv
+        uv_a.append(np.stack([
+            INTR.fx * pts[:, 0] / pts[:, 2] + INTR.cx,
+            INTR.fy * pts[:, 1] / pts[:, 2] + INTR.cy], axis=1))
+        uv_b.append(np.stack([
+            INTR.fx * pts_b[:, 0] / pts_b[:, 2] + INTR.cx,
+            INTR.fy * pts_b[:, 1] / pts_b[:, 2] + INTR.cy], axis=1))
+        pts_a.append(pts)
+        # plane transforms: n_b = R n, d_b = d - n_b . t (normalized d>=0)
+        nb = R @ n
+        db = d0 - nb @ tv
+        ca = np.concatenate([n, [d0]])
+        cb = np.concatenate([nb, [db]])
+        if ca[3] < 0:
+            ca = -ca
+        if cb[3] < 0:
+            cb = -cb
+        coeffs_a.append(ca)
+        coeffs_b.append(cb)
+    desc = [rng.normal(size=(k, d_dim)).astype(np.float32) * 10
+            for _ in range(p)]
+
+    def feats(coeffs, uv, pts):
+        return FrameFeatures(
+            coeffs=jnp.asarray(np.stack(coeffs), jnp.float32),
+            plane_valid=jnp.ones((p,), bool),
+            uv=jnp.asarray(np.stack(uv), jnp.float32),
+            kp3d=jnp.asarray(np.stack(pts), jnp.float32),
+            desc=jnp.asarray(np.stack(desc), jnp.float32),
+            kp_valid=jnp.ones((p, k), bool),
+        )
+
+    pts_b_all = [a @ R.T + tv for a in pts_a]
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = tv
+    return feats(coeffs_a, uv_a, pts_a), feats(coeffs_b, uv_b, pts_b_all), T
+
+
+def test_batched_plane_matches_single():
+    """VERDICT r2 #4: sharded-vs-single equivalence for the PLANE
+    multiPnP variant (the flagship registration path), not just the
+    image-only one."""
+    rng = np.random.default_rng(19)
+    m = _mesh2d()
+    fa, fb, T_gt = _plane_pair(rng)
+    single = pipeline.build_multipnp_planes(INTR, hypotheses=64)
+    key = jax.random.PRNGKey(2)
+    r1 = single(fa, fb, key, jnp.int32(12))
+    assert bool(r1.ok), "single plane multiPnP failed on exact data"
+    np.testing.assert_allclose(
+        np.asarray(r1.T)[:3, 3], T_gt[:3, 3], atol=0.02)
+
+    batched = registration.build_batched_multipnp(
+        INTR, image_only=False, hypotheses=64, mesh=m)
+    stack = registration.pad_batch(
+        registration.stack_features([fa]), m.shape["dp"])
+    fbs = registration.pad_batch(
+        registration.stack_features([fb]), m.shape["dp"])
+    keys = jnp.stack([key] * m.shape["dp"])
+    rb = batched(stack, fbs, keys, jnp.int32(12))
+    np.testing.assert_allclose(np.asarray(rb.T[0]), np.asarray(r1.T),
+                               rtol=1e-4, atol=1e-4)

@@ -232,3 +232,33 @@ def test_large_graph_optimizes_without_dense_solve():
     est = [opt.vertex_estimate(i) for i in range(n)]
     assert np.isfinite(chi)
     assert ate(gt, est) < before * 0.3
+
+
+def test_robust_chi2_is_rho():
+    """ADVICE r2: the chi2 the LM driver accumulates (and returns) for
+    robust edges must be g2o's robustChi2 = rho(chi), not w*chi. With
+    both vertices fixed no step can change the residual, so the returned
+    chi2 is exactly the per-edge accumulation."""
+    rng = np.random.default_rng(7)
+    Ta = np.eye(4)
+    Tb = se3.make_isometry(se3.rodrigues(np.array([0.0, 0.1, 0.0])),
+                           np.array([0.3, 0.0, 0.0]))
+    Z = np.eye(4)  # measurement disagrees with the (fixed) estimates
+    info = np.eye(6) * 100.0
+
+    def run(robust, kernel):
+        opt = PoseGraphOptimizer(robust_kernel=kernel)
+        opt.add_vertex(0, Ta, fixed=True)
+        opt.add_vertex(1, Tb, fixed=True)
+        opt.add_edge(0, 1, Z, info, robust=robust)
+        return opt.optimize(n_iters=2)
+
+    chi_raw = run(False, "Cauchy")
+    chi_cauchy = run(True, "Cauchy")
+    chi_huber = run(True, "Huber")
+    d = 1.0
+    assert chi_raw > d**2  # outside the kernel's linear region
+    np.testing.assert_allclose(
+        chi_cauchy, d**2 * np.log1p(chi_raw / d**2), rtol=1e-4)
+    np.testing.assert_allclose(
+        chi_huber, 2 * d * np.sqrt(chi_raw) - d**2, rtol=1e-4)

@@ -171,3 +171,26 @@ def test_streaming_handles_blackout(tmp_path_factory):
     assert gs.lost <= 1           # recovered after the blackout
     lost_file = os.path.join(gs.data_dir, "lost.txt")
     assert os.path.exists(lost_file)  # lostRecovery actually fired
+
+
+def test_streaming_chunk1_fused_per_frame(dataset, tmp_path_factory):
+    """chunk=1 IS the fused per-frame mode (VERDICT r2 #5): one
+    dispatch + one packed readback per frame, with the next frame's
+    step speculatively dispatched while this one's records apply."""
+    from slam3d_gx_tpu.frontend.streaming import StreamingGraphicEnd2
+
+    root, traj = dataset
+    d = str(tmp_path_factory.mktemp("stream1"))
+    gs = StreamingGraphicEnd2(_params(root), data_dir=d, chunk=1)
+    slam = SLAMEnd()
+    gs.init(slam)
+    slam.init(gs)
+    done = gs.run_streaming(N - 1)
+    assert done == N - 1
+    gs.save_final_result()
+
+    est = [gs.opt.vertex_estimate(k.id) for k in gs.keyframes]
+    gt = [traj[k.frame_index - 1] for k in gs.keyframes]
+    assert synthetic.ate_rmse(gt, est) < 0.05
+    rows = open(os.path.join(d, "error_of_transform.log")).read().split()
+    assert len(rows) == N - 1
