@@ -1,0 +1,174 @@
+#!/usr/bin/env python3
+"""Reference-scale long-sequence run (VERDICT r2 #2): full streaming
+plane-SLAM over a ~1000-frame loop-rich 640x480 sequence, then finalize
+(findMoreLoops + optimize) -> generateTrajectory -> saveOutput ->
+TUM ATE/RPE, reporting keyframe/loop counts, stage wall times and peak
+RSS. Targets the regime of the reference's captured fr1 artifacts
+(117 keyframes / 22 loop closures, /root/reference/data/keyframe.txt).
+
+Usage: longrun.py [n_frames] [chunk] [root]
+Env: LONG_MPC (max_pos_change, 0.08), LONG_DETECTOR (GFTT),
+     LONG_MAXKP (512), LONG_HYP (256), LONG_SCORED (0),
+     LONG_MODE (planes|imageonly), LONG_FUSE (1 = run saveOutput too).
+The dataset is generated (multi_loop_trajectory, 4 laps with drift) if
+`root` is missing — ~10 min of host rendering at 640x480.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    n_frames = int(argv[0]) if argv else 1000
+    chunk = int(argv[1]) if len(argv) > 1 else 16
+    root = argv[2] if len(argv) > 2 else "/tmp/slam3d_longrun/ds"
+
+    mpc = float(os.environ.get("LONG_MPC", "0.08"))
+    detector = os.environ.get("LONG_DETECTOR", "GFTT")
+    max_kp = int(os.environ.get("LONG_MAXKP", "512"))
+    hyp = int(os.environ.get("LONG_HYP", "256"))
+    scored = os.environ.get("LONG_SCORED", "0")
+    kind = os.environ.get("LONG_MODE", "planes")
+
+    import jax
+
+    from slam3d_gx_tpu.utils import compile_cache
+
+    compile_cache.enable(jax)
+
+    from slam3d_gx_tpu.backend import SLAMEnd
+    from slam3d_gx_tpu.cli import generate_trajectory
+    from slam3d_gx_tpu.config import CameraIntrinsics, ParameterReader
+    from slam3d_gx_tpu.frontend.streaming import (
+        StreamingGraphicEnd, StreamingGraphicEnd2)
+    from slam3d_gx_tpu.geometry import se3
+    from slam3d_gx_tpu.io import tum
+    from slam3d_gx_tpu.testing import synthetic
+
+    intr = CameraIntrinsics(fx=517.0, fy=517.0, cx=318.6, cy=255.3,
+                            factor=5000.0)
+    traj = synthetic.multi_loop_trajectory(n_frames)
+    if not os.path.exists(os.path.join(root, "associate.txt")):
+        log(f"generating {n_frames}-frame 640x480 dataset at {root}...")
+        scene = synthetic.RoomScene(seed=3)
+        synthetic.write_dataset(root, scene, traj, intr, height=480,
+                                width=640, write_pcd=True)
+
+    datadir = os.path.join(os.path.dirname(root.rstrip("/")), "data")
+    params = ParameterReader(None, overrides=dict(
+        data_source=root, detector_name=detector, descriptor_name="SIFT",
+        camera_fx=intr.fx, camera_fy=intr.fy, camera_cx=intr.cx,
+        camera_cy=intr.cy, camera_factor=intr.factor,
+        max_keypoints=max_kp, ransac_hypotheses=hyp,
+        max_pos_change=mpc, loop_closure_scored=scored,
+    ))
+    cls = StreamingGraphicEnd if kind == "planes" else StreamingGraphicEnd2
+    ge = cls(params, data_dir=datadir, chunk=chunk)
+    slam = SLAMEnd()
+    t0 = time.time()
+    ge.init(slam)
+    slam.init(ge)
+    t_init = time.time() - t0
+    log(f"init {t_init:.1f}s")
+
+    t0 = time.time()
+    done = ge.run_streaming(n_frames - 1)
+    t_track = time.time() - t0
+    log(f"tracked {done} frames in {t_track:.1f}s "
+        f"-> {done / t_track:.2f} FPS wall ({len(ge.keyframes)} keyframes)")
+
+    os.makedirs(datadir, exist_ok=True)
+    t0 = time.time()
+    ge.drain_pending_loop_closures()
+    slam.globalOptimizer.save(os.path.join(datadir, "final.g2o"))
+    t_drain = time.time() - t0
+    t0 = time.time()
+    ge.save_final_result()
+    t_final = time.time() - t0
+    log(f"drain {t_drain:.1f}s, finalize (findMoreLoops+optimize+save) "
+        f"{t_final:.1f}s")
+
+    lc_path = os.path.join(datadir, "lc.txt")
+    n_lc = (sum(1 for r in open(lc_path) if r.strip())
+            if os.path.exists(lc_path) else 0)
+    lost_path = os.path.join(datadir, "lost.txt")
+    n_lost = (sum(1 for r in open(lost_path) if r.strip())
+              if os.path.exists(lost_path) else 0)
+
+    # trajectory + TUM metrics against the generator's ground truth
+    est_path = os.path.join(datadir, "trajectory.txt")
+    generate_trajectory.generate(
+        os.path.join(datadir, "keyframe.txt"),
+        os.path.join(datadir, "final_after.g2o"),
+        params=params, out_path=est_path)
+    asso = tum.read_associate(os.path.join(root, "associate.txt"))
+    gt_path = os.path.join(datadir, "groundtruth.txt")
+    with open(gt_path, "w") as f:
+        for row, T in zip(asso, traj):
+            d = se3.get_estimate_data(T)
+            f.write(f"{row.rgb_ts} " + " ".join(f"{v:.9g}" for v in d) + "\n")
+
+    def run_tool(tool, *args):
+        r = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "tools", tool),
+             gt_path, est_path, *args], capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+
+    ate = float(run_tool("evaluate_ate.py").strip())
+    rpe = float(run_tool("evaluate_rpe.py", "--fixed_delta",
+                         "--delta", "0.1").strip())
+
+    t_fuse = None
+    if os.environ.get("LONG_FUSE", "1") == "1":
+        from slam3d_gx_tpu.cli import save_output
+
+        t0 = time.time()
+        save_output.fuse_map(
+            os.path.join(datadir, "keyframe.txt"),
+            os.path.join(datadir, "final_after.g2o"),
+            pass_z=5.0, params=params,
+            out_path=os.path.join(datadir, "result.pcd"))
+        t_fuse = round(time.time() - t0, 1)
+        log(f"saveOutput fusion {t_fuse:.1f}s")
+
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(json.dumps({
+        "metric": "longrun_wall_fps_640x480",
+        "value": round(done / t_track, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(done / t_track / 30.0, 3),
+        "frames": done,
+        "keyframes": len(ge.keyframes),
+        "loop_closures": n_lc,
+        "lost_recoveries": n_lost,
+        "ate_rmse_m": round(ate, 5),
+        "rpe_trans_rmse_m": round(rpe, 5),
+        "track_s": round(t_track, 1),
+        "finalize_s": round(t_final, 1),
+        "fuse_s": t_fuse,
+        "peak_rss_gb": round(rss_gb, 2),
+        "chunk": chunk,
+        "mode": kind,
+        "scored": scored,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,6 +38,11 @@ def main(argv=None) -> int:
 
     import jax
 
+    if os.environ.get("QUALITY_PLATFORM"):
+        # ATE/RPE are platform-independent; CPU runs produce the same
+        # quality table when the TPU is busy (FPS is measured elsewhere)
+        jax.config.update("jax_platforms", os.environ["QUALITY_PLATFORM"])
+
     from slam3d_gx_tpu.utils import compile_cache
 
     compile_cache.enable(jax)

@@ -195,7 +195,11 @@ def build_plane_extractor(
             def pick_plane(member_p, coeff_p, valid_p):
                 score = jnp.where(member_p & kps.valid & valid_p,
                                   kps.response, -jnp.inf)
-                vals, idx = jax.lax.top_k(score, max_kp)
+                # a budget below max_kp can't fill a plane's capacity:
+                # take what exists and pad the rest invalid (the
+                # starvation regime the frame_kp_budget sweep measures)
+                k_eff = min(max_kp, score.shape[0])
+                vals, idx = jax.lax.top_k(score, k_eff)
                 # row compaction as one-hot matmuls: random row gathers
                 # lower element-at-a-time on TPU, (K,Kg)x(Kg,D) rides
                 # the MXU (CLAUDE.md perf rules)
@@ -203,6 +207,12 @@ def build_plane_extractor(
                                         dtype=desc1.dtype)
                 uv_p = jnp.matmul(onehot, kps.uv, precision=_HI)
                 desc_p = jnp.matmul(onehot, desc1)
+                if k_eff < max_kp:
+                    pad = max_kp - k_eff
+                    vals = jnp.pad(vals, (0, pad),
+                                   constant_values=-jnp.inf)
+                    uv_p = jnp.pad(uv_p, ((0, pad), (0, 0)))
+                    desc_p = jnp.pad(desc_p, ((0, pad), (0, 0)))
                 kp3d_p, v3 = compute_kp3d_plane(depth, uv_p, coeff_p, intr)
                 return uv_p, kp3d_p, desc_p, (vals > -jnp.inf) & v3
 

@@ -39,6 +39,14 @@ def enable(jax) -> str | None:
         ver = jax.devices()[0].client.platform_version
     except Exception:
         return None
+    if "axon" in ver.lower() and not os.environ.get("SLAM3D_FORCE_CACHE"):
+        # Measured on the axon relay (round 3): executing an executable
+        # deserialized from the jax persistent cache fails with
+        # FailedPrecondition or hangs — the relay only accepts
+        # executables it compiled in-session, and it keeps its own
+        # server-side compile cache anyway. Never enable the jax cache
+        # there unless explicitly forced.
+        return None
     key = hashlib.sha1(ver.encode()).hexdigest()[:12]
     root = os.environ.get("SLAM3D_CACHE_DIR") or os.path.join(
         _REPO_ROOT, ".xla_cache")
