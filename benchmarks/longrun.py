@@ -80,6 +80,10 @@ def main(argv=None) -> int:
     cls = StreamingGraphicEnd if kind == "planes" else StreamingGraphicEnd2
     ge = cls(params, data_dir=datadir, chunk=chunk)
     slam = SLAMEnd()
+    if os.environ.get("LONG_PARWARM", "1") == "1":
+        from streaming_wall import warm_compiles_parallel
+
+        warm_compiles_parallel(ge, chunk, kind, log)
     t0 = time.time()
     ge.init(slam)
     slam.init(ge)

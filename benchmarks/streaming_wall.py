@@ -32,6 +32,73 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def warm_compiles_parallel(ge, chunk, kind, log, h=480, w=640):
+    """Issue the run's three big XLA compiles CONCURRENTLY (threads):
+    per-frame extract, the chunked tracker scan, and the batched
+    loop-closure verifier. The axon service compiles independent
+    programs in parallel, so wall time ~= the slowest compile instead
+    of the sum — the difference between fitting in one session window
+    and not. Dummy inputs match the run's exact shapes/dtypes so the
+    jit cache is hot when the real frames arrive."""
+    import concurrent.futures as cf
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam3d_gx_tpu.frontend.state import empty_frame
+
+    key = jax.random.PRNGKey(99)
+    gray_u8 = jnp.zeros((h, w), jnp.uint8)
+    depth_u16 = jnp.full((h, w), 9000, jnp.uint16)
+    p = 1 if kind != "planes" else ge.max_planes
+    f0 = empty_frame(p, ge.max_kp, 128)
+
+    def warm_perframe():
+        # dtypes must match graphic_end.readimage exactly (u8 gray, u16
+        # depth, f32 cloud) or jit compiles a second program for real use
+        t0 = time.time()
+        if kind == "planes":
+            xyz = jnp.zeros((h * w, 3), jnp.float32)
+            mask = jnp.zeros((h * w,), bool)
+            f = ge.extract(gray_u8, depth_u16, xyz, mask, key)
+        else:
+            f = ge.extract_img(gray_u8, depth_u16)
+        jax.block_until_ready(f.desc)
+        return "perframe-extract", time.time() - t0
+
+    def warm_tracker():
+        t0 = time.time()
+        ge._ensure_tracker()
+        grays = jnp.zeros((chunk, h, w), jnp.uint8)
+        depths = jnp.zeros((chunk, h, w), jnp.uint16)
+        keys = jax.random.split(key, chunk)
+        out = ge._tracker(f0, jnp.eye(4, dtype=jnp.float32),
+                          jnp.eye(4, dtype=jnp.float32), jnp.int32(0),
+                          grays, depths, keys)
+        jax.block_until_ready(out[2])
+        return "tracker-scan", time.time() - t0
+
+    def warm_verifier():
+        t0 = time.time()
+        if ge.batch_registrar is None:
+            return "verifier", 0.0
+        b = 32
+        fa = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (b,) + x.shape), f0)
+        keys = jax.random.split(key, b)
+        res = ge.batch_registrar.fn(fa, fa, keys, jnp.int32(12))
+        jax.block_until_ready(res.T)
+        return "batched-verifier", time.time() - t0
+
+    t0 = time.time()
+    with cf.ThreadPoolExecutor(max_workers=3) as ex:
+        for name, dt in ex.map(lambda f: f(),
+                               [warm_perframe, warm_tracker, warm_verifier]):
+            log(f"warm {name}: {dt:.1f}s")
+    log(f"parallel warm total {time.time() - t0:.1f}s")
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     n_frames = int(argv[0]) if argv else 96
@@ -82,10 +149,14 @@ def main(argv=None) -> int:
     cls = StreamingGraphicEnd if kind == "planes" else StreamingGraphicEnd2
     ge = cls(params, data_dir=datadir, chunk=chunk)
     slam = SLAMEnd()
+
+    if os.environ.get("WALL_PARWARM", "1") == "1":
+        warm_compiles_parallel(ge, chunk, kind, log)
+
     t0 = time.time()
     ge.init(slam)
     slam.init(ge)
-    log(f"init (first extract compile) {time.time() - t0:.1f}s")
+    log(f"init (first extract) {time.time() - t0:.1f}s")
 
     # warmup: compile-bearing first chunks
     t0 = time.time()
