@@ -142,24 +142,22 @@ def main() -> int:
         lost = jnp.int32(0)
         key = jax.random.PRNGKey(0)
 
-        def run_chunk(kf_feat, kf_pos, robot, lost, c, key):
+        def run_chunk(carry, c, key):
             keys = jax.random.split(key, chunk)
             carry, feats, recs = tracker(
-                kf_feat, kf_pos, robot, lost,
-                g_chunks[c % 4], d_chunks[c % 4], keys)
+                *carry, g_chunks[c % 4], d_chunks[c % 4], keys)
             return carry, np.asarray(recs)  # the per-chunk readback
 
+        carry = (kf_feat, kf_pos, robot, lost, kf_feat)
         t0 = time.time()
-        (kf_feat, kf_pos, robot, lost), recs = run_chunk(
-            kf_feat, kf_pos, robot, lost, 0, key)
+        carry, recs = run_chunk(carry, 0, key)
         log(f"compile+first chunk: {time.time() - t0:.1f}s")
 
         n_chunks = max(1, n_timed // chunk)
         t0 = time.time()
         for c in range(n_chunks):
             key, sub = jax.random.split(key)
-            (kf_feat, kf_pos, robot, lost), recs = run_chunk(
-                kf_feat, kf_pos, robot, lost, c, sub)
+            carry, recs = run_chunk(carry, c, sub)
         dt = time.time() - t0
         fps = n_chunks * chunk / dt
         log(f"{n_chunks * chunk} frames in {dt:.2f}s -> {fps:.2f} FPS "

@@ -75,7 +75,7 @@ def warm_compiles_parallel(ge, chunk, kind, log, h=480, w=640):
         keys = jax.random.split(key, chunk)
         out = ge._tracker(f0, jnp.eye(4, dtype=jnp.float32),
                           jnp.eye(4, dtype=jnp.float32), jnp.int32(0),
-                          grays, depths, keys)
+                          f0, grays, depths, keys)
         jax.block_until_ready(out[2])
         return "tracker-scan", time.time() - t0
 

@@ -188,7 +188,8 @@ class GraphicEnd:
         self.lcdb.add(kf.features)
 
     # -- prefetch ------------------------------------------------------------
-    def _setup_prefetch(self, want_pcd: bool):
+    def _setup_prefetch(self, want_pcd: bool, queue_depth: int = 4,
+                        threads: int = 2):
         """Start the native threaded loaders for all frames after the
         current index, so host decode overlaps device compute (the
         reference's frame loop decodes synchronously each frame,
@@ -211,15 +212,18 @@ class GraphicEnd:
         loaders = {
             "gray": native_io.PrefetchLoader(
                 [os.path.join(self.rgb_path, f"{i}.png") for i in idx],
-                native_io.MODE_GRAY8, height=h, width=w),
+                native_io.MODE_GRAY8, height=h, width=w,
+                queue_depth=queue_depth, threads=threads),
             "depth": native_io.PrefetchLoader(
                 [os.path.join(self.dep_path, f"{i}.png") for i in idx],
-                native_io.MODE_DEPTH16, height=h, width=w),
+                native_io.MODE_DEPTH16, height=h, width=w,
+                queue_depth=queue_depth, threads=threads),
         }
         if want_pcd:
             loaders["pcd"] = native_io.PrefetchLoader(
                 [os.path.join(self.pcl_path, f"{i}.pcd") for i in idx],
-                native_io.MODE_PCD)
+                native_io.MODE_PCD,
+                queue_depth=queue_depth, threads=threads)
         self._prefetch = loaders
         self._prefetch_next = self.index + 1
 

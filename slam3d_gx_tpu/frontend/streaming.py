@@ -17,12 +17,13 @@ over a chunk of frames, carried entirely on device:
                                       kf_pos' = robot'
              !ok   -> lost' = lost + 1
 
-One packed (N, 24) readback per chunk carries every decision the host
-needs (measurement T, norm, inliers, ok, new-keyframe flag, lost
-counter); per-frame features stay on device and new keyframes are
-sliced out of the returned stack with a single jitted take. Keyframe
-bookkeeping, graph edges, loop closure (async, parallel/registration)
-and the logs are then replayed host-side with identical semantics.
+One packed (N, REC_WIDTH) readback per chunk carries every decision
+the host needs (measurement T, norm, inliers, ok, new-keyframe flag,
+lost counter, rescue records); per-frame features stay on device and
+new keyframes are sliced out of the returned stack with a single
+jitted take. Keyframe bookkeeping, graph edges, loop closure (async,
+parallel/registration) and the logs are then replayed host-side with
+identical semantics.
 
 lostRecovery cannot run on device (it mutates the pose graph and scans
 history, src/GraphicEnd.cpp:764-838): when a chunk's lost counter
@@ -42,8 +43,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..geometry import se3
 from ..io import images
-from .graphic_end import GraphicEnd, GraphicEnd2
+from .graphic_end import INFO_VISUAL, GraphicEnd, GraphicEnd2
+from .state import Keyframe
 
 
 def _inv_se3(T):
@@ -54,49 +57,108 @@ def _inv_se3(T):
     return Ti.at[:3, 3].set(-R.T @ t)
 
 
+REC_WIDTH = 59  # per-frame packed record row (see build_tracker)
+
+
 def build_tracker(extract_fn, multipnp, max_pos_change: float,
-                  chunk: int):
-    """Jitted track_chunk(kf_feat, kf_pos, robot, lost, grays, depths,
-    keys) -> (carry', features_stack (N,...), records (N,24)).
+                  chunk: int, rescue: bool = False,
+                  rescue_inliers: int = 30, rescue_error: float = 1.5):
+    """Jitted track_chunk(kf_feat, kf_pos, robot, lost, last_feat,
+    grays, depths, keys) -> (carry', features_stack (N,...),
+    records (N,REC_WIDTH)).
 
     extract_fn(gray_f32, depth_f32, key) -> FrameFeatures — the plane
     extractor consumes a PRNG key (RANSAC), the image extractor ignores
-    it."""
+    it.
+
+    With rescue=True the reference's last-frame rescue
+    (src/GraphicEnd.cpp:183-227, mirrored host-side by
+    GraphicEnd._rescue_with_last) runs ON DEVICE under lax.cond when
+    registration against the current keyframe fails: present is matched
+    against the last tracked frame and, on success (inliers >=
+    rescue_inliers and norm <= rescue_error — the reference reuses its
+    loop-closure gates here), BOTH last and present promote to
+    keyframes and present becomes the reference keyframe. Without this
+    the host had to replay the chunk's remainder through the ~100 ms/
+    frame synchronous per-frame path on every sporadic RANSAC miss —
+    measured at 68% of streaming-planes wall time.
+
+    Record row layout (f32): [0:16] T (inverted measurement), [16] norm,
+    [17] inliers, [18] ok, [19] new_kf, [20] lost-after, [21:24]
+    robot t, [24] rescued, [25:41] rescue T last->present, [41] rescue
+    norm, [42] rescue inliers, [43:59] T keyframe->last."""
+
+    def step(carry, xs):
+        kf_feat, kf_pos, robot, lost, last_feat = carry
+        gray, depth, key = xs
+        k_ext, k_pnp, k_r, k_rr = jax.random.split(key, 4)
+        # frames arrive as raw u8/u16 (half the relay upload bytes);
+        # cast on device
+        feat = extract_fn(gray.astype(jnp.float32),
+                          depth.astype(jnp.float32), k_ext)
+        res = multipnp(kf_feat, feat, k_pnp, jnp.int32(12))
+        T = _inv_se3(res.T)
+        ok = res.ok
+
+        if rescue:
+            def try_rescue(_):
+                r = multipnp(last_feat, feat, k_r, jnp.int32(12))
+                r_ok = (r.ok & (r.inliers >= rescue_inliers)
+                        & (r.norm <= rescue_error))
+                # keyframe->last edge; only consumed when r_ok, so the
+                # wasted solve on a failed rescue costs nothing extra
+                # on the common path (the cond is only entered on !ok)
+                rr = multipnp(kf_feat, last_feat, k_rr, jnp.int32(12))
+                return (r_ok, r.T.reshape(16), r.norm,
+                        r.inliers.astype(jnp.float32), rr.T.reshape(16))
+
+            def no_rescue(_):
+                return (jnp.bool_(False), jnp.zeros(16, jnp.float32),
+                        jnp.float32(0.0), jnp.float32(0.0),
+                        jnp.zeros(16, jnp.float32))
+
+            resc_ok, r_T, r_norm, r_inl, rr_T = jax.lax.cond(
+                ~ok, try_rescue, no_rescue, operand=None)
+        else:
+            resc_ok = jnp.bool_(False)
+            r_T = rr_T = jnp.zeros(16, jnp.float32)
+            r_norm = r_inl = jnp.float32(0.0)
+
+        new_kf = ok & (res.norm > max_pos_change)
+        promote = new_kf | resc_ok
+        robot_n = jnp.where(ok, T @ kf_pos, robot)
+        # rescue parity: generate_keyframe sets kf_pos = robot and the
+        # rescue branch never moves robot, so promote covers both cases
+        kf_pos_n = jnp.where(promote, robot_n, kf_pos)
+        kf_feat_n = jax.tree.map(
+            lambda new, old: jnp.where(promote, new, old), feat, kf_feat)
+        tracked = ok | resc_ok
+        lost_n = jnp.where(tracked, 0, lost + 1)
+        last_n = jax.tree.map(
+            lambda new, old: jnp.where(tracked, new, old), feat, last_feat)
+        rec = jnp.concatenate([
+            T.reshape(16).astype(jnp.float32),
+            jnp.stack([
+                res.norm.astype(jnp.float32),
+                res.inliers.astype(jnp.float32),
+                ok.astype(jnp.float32),
+                new_kf.astype(jnp.float32),
+                lost_n.astype(jnp.float32),
+            ]),
+            robot_n[:3, 3].astype(jnp.float32),
+            resc_ok.astype(jnp.float32)[None],
+            r_T.astype(jnp.float32),
+            jnp.stack([r_norm.astype(jnp.float32),
+                       r_inl.astype(jnp.float32)]),
+            rr_T.astype(jnp.float32),
+        ])
+        return (kf_feat_n, kf_pos_n, robot_n, lost_n, last_n), (feat, rec)
 
     @jax.jit
-    def track_chunk(kf_feat, kf_pos, robot, lost, grays, depths, keys):
-        def step(carry, xs):
-            kf_feat, kf_pos, robot, lost = carry
-            gray, depth, key = xs
-            k_ext, k_pnp = jax.random.split(key)
-            # frames arrive as raw u8/u16 (half the relay upload bytes);
-            # cast on device
-            feat = extract_fn(gray.astype(jnp.float32),
-                              depth.astype(jnp.float32), k_ext)
-            res = multipnp(kf_feat, feat, k_pnp, jnp.int32(12))
-            T = _inv_se3(res.T)
-            ok = res.ok
-            new_kf = ok & (res.norm > max_pos_change)
-            robot_n = jnp.where(ok, T @ kf_pos, robot)
-            kf_pos_n = jnp.where(new_kf, robot_n, kf_pos)
-            kf_feat_n = jax.tree.map(
-                lambda new, old: jnp.where(new_kf, new, old), feat, kf_feat)
-            lost_n = jnp.where(ok, 0, lost + 1)
-            rec = jnp.concatenate([
-                T.reshape(16).astype(jnp.float32),
-                jnp.stack([
-                    res.norm.astype(jnp.float32),
-                    res.inliers.astype(jnp.float32),
-                    ok.astype(jnp.float32),
-                    new_kf.astype(jnp.float32),
-                    lost_n.astype(jnp.float32),
-                ]),
-                robot_n[:3, 3].astype(jnp.float32),
-            ])
-            return (kf_feat_n, kf_pos_n, robot_n, lost_n), (feat, rec)
-
+    def track_chunk(kf_feat, kf_pos, robot, lost, last_feat, grays,
+                    depths, keys):
         carry, (feats, recs) = jax.lax.scan(
-            step, (kf_feat, kf_pos, robot, lost),
+            step, (kf_feat, kf_pos, robot, lost, last_feat),
             (grays, depths, keys), length=chunk)
         return carry, feats, recs
 
@@ -111,56 +173,95 @@ class _StreamingMixin:
     frontends. Use run_streaming(n_frames) instead of n run() calls.
 
     Subclasses provide _make_extract_fn() -> extract(gray_f32,
-    depth_f32, key) and set `replay_on_fail`: True makes the first
-    failed frame (and everything after it in the chunk) replay through
-    the exact per-frame path — required for GraphicEnd, whose lost
-    branch runs the last-frame rescue (src/GraphicEnd.cpp:183-227) that
-    can promote keyframes the device scan didn't model."""
-
-    replay_on_fail = False
+    depth_f32, key). For the plane frontend the reference's last-frame
+    rescue (src/GraphicEnd.cpp:183-227) runs inside the device scan
+    (build_tracker rescue=True) and its keyframe bookkeeping is
+    mirrored host-side from the packed records; only lostRecovery
+    (graph mutation + history scan) still falls back to the exact
+    per-frame path."""
 
     def _init_streaming(self, chunk: int):
         self.chunk = chunk
         self._tracker = None
 
+    def _setup_prefetch(self, want_pcd: bool, **kw):
+        """The chunk path backprojects clouds on device, so never
+        prefetch PCDs in streaming mode: the background ASCII parse
+        (~9 MB/frame) steals host CPU/IO for the whole run and the
+        prefetch pop in _load_frames blocks on it (measured ~1 s per
+        32-frame chunk, the single largest wall cost). The rare
+        per-frame fallback (lostRecovery replay) reads PCDs
+        synchronously instead. The queue is deepened to cover a whole
+        chunk burst plus the speculative next chunk (the per-frame
+        default of 4 slots drains instantly and pops then serialize on
+        the 2 decode threads)."""
+        del want_pcd, kw
+        super()._setup_prefetch(want_pcd=False,
+                                queue_depth=2 * self.chunk, threads=4)
+
     def _frame_files_exist(self, idx: int) -> bool:
         """Contiguous-prefix probe. The plane frontend also requires the
         frame's PCD: the chunk path never reads it (clouds come from
-        on-device backprojection) but the per-frame fallback/replay
-        paths do — a PNG-present/PCD-missing frame must stop the run
-        cleanly here instead of crashing in read_pcd mid-replay."""
+        on-device backprojection) but the per-frame fallback paths
+        (chunk tail, lostRecovery replay) do — a PNG-present/PCD-missing
+        frame must stop the run cleanly here instead of crashing in
+        read_pcd mid-replay."""
         if not os.path.exists(os.path.join(self.rgb_path, f"{idx}.png")):
             return False
-        if self.replay_on_fail and not self.image_only:
+        if not self.image_only:
             return os.path.exists(
                 os.path.join(self.pcl_path, f"{idx}.pcd"))
         return True
 
     def _ensure_tracker(self):
         if self._tracker is None:
+            # the rescue branch mirrors run(): only the non-odometry
+            # plane frontend rescues (GraphicEnd.run:401-406); image-only
+            # and odometry runs count lost frames instead
+            rescue = (not self.image_only) and not self.use_odometry
             self._tracker = build_tracker(
                 self._make_extract_fn(), self.multipnp,
-                self.max_pos_change, self.chunk)
+                self.max_pos_change, self.chunk, rescue=rescue,
+                rescue_inliers=self.loop_closure_inliers,
+                rescue_error=self.loop_closure_error)
 
     def _load_frames(self, indices):
-        grays, depths = [], []
+        # drain the per-frame prefetch first (single-threaded: it
+        # save/restores self.index); at most one index can match
+        pre_hits = {}
         for idx in indices:
-            pre = None
             if getattr(self, "_prefetch", None) is not None \
                     and self._prefetch_next == idx:
                 save = self.index
                 self.index = idx
                 pre = self._prefetch_pop()
                 self.index = save
-            if pre is not None:
-                g, d, _ = pre
-            else:
-                g = images.load_gray(
-                    os.path.join(self.rgb_path, f"{idx}.png"))
-                d = images.load_depth(
-                    os.path.join(self.dep_path, f"{idx}.png"))
-            grays.append(np.asarray(g))
-            depths.append(np.asarray(d, np.uint16))
+                if pre is not None:
+                    g, d, _ = pre
+                    pre_hits[idx] = (np.asarray(g),
+                                     np.asarray(d, np.uint16))
+
+        def load_one(idx):
+            if idx in pre_hits:
+                return pre_hits[idx]
+            g = images.load_gray(
+                os.path.join(self.rgb_path, f"{idx}.png"))
+            d = images.load_depth(
+                os.path.join(self.dep_path, f"{idx}.png"))
+            return np.asarray(g), np.asarray(d, np.uint16)
+
+        if len(indices) > 1:
+            # decode in threads: the native PNG codec / PIL's zlib both
+            # release the GIL for the heavy part, and serial decode was
+            # ~500 ms per 16-frame chunk — on the critical host path
+            # even with double-buffering (it runs inside dispatch)
+            import concurrent.futures as cf
+            with cf.ThreadPoolExecutor(max_workers=8) as ex:
+                pairs = list(ex.map(load_one, indices))
+        else:
+            pairs = [load_one(idx) for idx in indices]
+        grays = [g for g, _ in pairs]
+        depths = [d for _, d in pairs]
         return np.stack(grays), np.stack(depths)
 
     def run_streaming(self, n_frames: int) -> int:
@@ -210,11 +311,32 @@ class _StreamingMixin:
             if inflight is None:
                 break
         # tail: fewer than chunk frames remain (or a gap broke the
-        # prefix) — the fixed-shape tracker would recompile, so finish
-        # through the exact per-frame path
+        # prefix). Pad the remainder to a full chunk by repeating the
+        # last frame so the fixed-shape tracker serves the tail too —
+        # the per-frame fallback costs ~1.3 s/frame on the plane
+        # pipeline (host PCD parse + synchronous readback) and was 91%
+        # of the 96-frame benchmark's wall time. Only the valid prefix
+        # of the records is applied; the padded frames' effect on the
+        # device carry is irrelevant because the run ends (or stops at
+        # the gap) here.
         while done < n_frames and self._frame_files_exist(self.index):
-            self.run()
-            done += 1
+            indices = []
+            idx = self.index
+            while (done + len(indices) < n_frames
+                   and len(indices) < self.chunk
+                   and self._frame_files_exist(idx)):
+                indices.append(idx)
+                idx += 1
+            grays, depths = self._load_frames(indices)
+            pad = self.chunk - len(indices)
+            if pad:
+                grays = np.concatenate(
+                    [grays, np.repeat(grays[-1:], pad, axis=0)])
+                depths = np.concatenate(
+                    [depths, np.repeat(depths[-1:], pad, axis=0)])
+            st = self._dispatch_chunk(indices, frames=(grays, depths))
+            applied, _ = self._process_chunk(st)
+            done += applied
         return done
 
     def _dispatch_chunk(self, indices, carry=None, frames=None):
@@ -230,6 +352,8 @@ class _StreamingMixin:
                 jnp.asarray(self.kf_pos, jnp.float32),
                 jnp.asarray(self.robot, jnp.float32),
                 jnp.int32(self.lost),
+                self.last if self.last is not None
+                else self.curr_kf.features,
             )
         keys = jax.random.split(self.next_key(), self.chunk)
         carry_out, feats, recs = self._tracker(
@@ -252,23 +376,44 @@ class _StreamingMixin:
         recs = np.asarray(chunk_state["recs"])  # ONE readback per chunk
 
         applied = 0
+        last_ptr = -1  # index into feats of the device's `last` frame
         for j, idx in enumerate(indices):
             T = recs[j, :16].astype(np.float64).reshape(4, 4)
             norm = float(recs[j, 16])
             ok = recs[j, 18] != 0.0
             new_kf = recs[j, 19] != 0.0
             lost_after = int(recs[j, 20])
+            rescued = recs[j, 24] != 0.0
             self.index = idx
             self._sync_odometry()
-            if not ok and self.replay_on_fail:
-                # the per-frame lost branch (last-frame rescue) can
-                # promote keyframes the device scan didn't model —
-                # replay from here through the exact per-frame path
-                applied += self._replay_from(j, indices, feats)
-                return applied, False
             if not ok:
                 self._log("error_of_transform.log", "9999\n")
-                self.lost = lost_after
+                if rescued:
+                    # mirror _rescue_with_last's bookkeeping from the
+                    # on-device rescue records (GraphicEnd.cpp:183-227):
+                    # promote last, then present; robot stays put
+                    r_T = recs[j, 25:41].astype(np.float64).reshape(4, 4)
+                    rr_T = recs[j, 43:59].astype(np.float64).reshape(4, 4)
+                    last_feats = (_take(feats, jnp.int32(last_ptr))
+                                  if last_ptr >= 0 else self.last)
+                    self.lost = 0
+                    new_id = self.curr_kf.id + 1
+                    self.curr_kf = Keyframe(
+                        id=new_id, frame_index=idx - 1,
+                        features=last_feats)
+                    self._register_keyframe(self.curr_kf)
+                    est = (self.odo_this if self.use_odometry
+                           else np.eye(4))
+                    self.opt.add_vertex(new_id, est)
+                    self.opt.add_edge(new_id - 1, new_id,
+                                      se3.inverse(rr_T), INFO_VISUAL)
+                    feat_j = _take(feats, jnp.int32(j))
+                    self.generate_keyframe(se3.inverse(r_T), feat_j)
+                    self.last = feat_j
+                    self.last_frame_index = idx
+                    last_ptr = j
+                else:
+                    self.lost = lost_after
             else:
                 self._log("error_of_transform.log", f"{norm:g}\n")
                 self.robot = T @ self.kf_pos
@@ -280,6 +425,7 @@ class _StreamingMixin:
                         self.loop_closure()
                 self.last = _take(feats, jnp.int32(j))
                 self.last_frame_index = idx
+                last_ptr = j
             applied += 1
             if self.lost > self.lost_frames:
                 # recovery mutates the graph and the reference keyframe;
@@ -298,20 +444,6 @@ class _StreamingMixin:
                 return applied, False
             self.index = idx + 1
         return applied, True
-
-    def _replay_from(self, j, indices, feats) -> int:
-        """Re-run frames indices[j:] through the per-frame path. `last`
-        is set from the chunk's feature stack so the rescue branch sees
-        the same previous-frame features the device tracked."""
-        if j > 0:
-            self.last = _take(feats, jnp.int32(j - 1))
-            self.last_frame_index = indices[j - 1]
-        applied = 0
-        for k in range(j, len(indices)):
-            self.index = indices[k]
-            self.run()
-            applied += 1
-        return applied
 
 
 class StreamingGraphicEnd2(_StreamingMixin, GraphicEnd2):
@@ -339,12 +471,12 @@ class StreamingGraphicEnd(_StreamingMixin, GraphicEnd):
 
     The chunk path derives each frame's cloud by backprojecting the
     depth image on device (= convert2PCD semantics, so identical to the
-    PCD files for datasets produced by the documented workflow); frames
-    that fail to track replay through the per-frame path, which reads
-    the PCD files and runs the reference's last-frame rescue exactly.
+    PCD files for datasets produced by the documented workflow). The
+    reference's last-frame rescue runs inside the device scan
+    (build_tracker rescue=True) so sporadic registration misses no
+    longer leave the chunk; only lostRecovery falls back to the exact
+    per-frame path (which reads the PCD files).
     """
-
-    replay_on_fail = True
 
     def __init__(self, params=None, data_dir: str = "./data",
                  chunk: int = 8):
