@@ -101,11 +101,24 @@ def main(argv=None) -> int:
     ge.drain_pending_loop_closures()
     slam.globalOptimizer.save(os.path.join(datadir, "final.g2o"))
     t_drain = time.time() - t0
+    # same sequence as ge.save_final_result(), staged for timing
     t0 = time.time()
-    ge.save_final_result()
-    t_final = time.time() - t0
-    log(f"drain {t_drain:.1f}s, finalize (findMoreLoops+optimize+save) "
-        f"{t_final:.1f}s")
+    ge.find_more_loops()
+    t_fml = time.time() - t0
+    t0 = time.time()
+    ge.opt.optimize(ge.params.get_int("optimize_step"))
+    t_opt = time.time() - t0
+    t0 = time.time()
+    from slam3d_gx_tpu.io import tum as _tum
+    _tum.write_keyframes(
+        os.path.join(datadir, "keyframe.txt"),
+        [(kf.id, kf.frame_index) for kf in ge.keyframes])
+    ge.opt.save(os.path.join(datadir, "final_after.g2o"))
+    t_save = time.time() - t0
+    t_final = t_fml + t_opt + t_save
+    log(f"drain {t_drain:.1f}s, finalize {t_final:.1f}s "
+        f"(findMoreLoops {t_fml:.1f}s, optimize {t_opt:.1f}s, "
+        f"save {t_save:.1f}s)")
 
     lc_path = os.path.join(datadir, "lc.txt")
     n_lc = (sum(1 for r in open(lc_path) if r.strip())
@@ -165,6 +178,8 @@ def main(argv=None) -> int:
         "rpe_trans_rmse_m": round(rpe, 5),
         "track_s": round(t_track, 1),
         "finalize_s": round(t_final, 1),
+        "findmoreloops_s": round(t_fml, 1),
+        "optimize_s": round(t_opt, 1),
         "fuse_s": t_fuse,
         "peak_rss_gb": round(rss_gb, 2),
         "chunk": chunk,

@@ -707,44 +707,51 @@ class GraphicEnd:
             and inl >= self.loop_closure_inliers
         return self._apply_check_verdict(k1, k2, passed, T)
 
+    def _scan_source(self, source: int):
+        """Fill the verdict cache for every (source, i) pair in one
+        pipelined batched-registration round (see checknearby)."""
+        fresh = [i for i in range(len(self.keyframes))
+                 if i != source and (source, i) not in self._check_cache]
+        if not fresh:
+            return
+        results = self.batch_registrar.run_against_one(
+            self.kf_store, fresh, self.keyframes[source].features,
+            self.next_key(), self.loop_closure_inliers,
+            single_is_target=False)
+        for i, (T, norm, inl, ok) in zip(fresh, results):
+            self._check_cache[(source, i)] = (
+                bool(ok) and norm <= self.loop_closure_error
+                and inl >= self.loop_closure_inliers, T)
+
     def checknearby(self, source: int, target: int) -> List[int]:
         down = [i for i in range(target - 1, -1, -1) if i != source]
         up = [i for i in range(target + 1, len(self.keyframes)) if i != source]
 
         if self.batch_registrar is not None and (down or up):
             # the sequential walk stops at the first failure in each
-            # direction. Batched evaluation advances in chunk-sized
-            # GROWING windows (evaluating the whole history up front is
-            # a ~25x overcompute when walks fail early) and reuses the
-            # verdict cache — on co-visible scenes find_more_loops
-            # re-checks the same pairs many times over (reference
-            # semantics: duplicate edges pile up weight), and the cache
-            # replays those verdicts without device work.
+            # direction, but its verdicts depend only on the pair, not
+            # the walk order — so on the first touch of a source we
+            # register it against the WHOLE keyframe history in one
+            # pipelined round (dispatch_against_one launches every
+            # chunk before resolving any, so the per-chunk relay syncs
+            # overlap later chunks' device compute) and fill the
+            # verdict cache; all of this source's walks then replay at
+            # zero device cost. On sync-bound hardware (~28 ms/sync
+            # relay) this beats the earlier growing-window scheme by
+            # ~5x at reference scale (111 kf: findMoreLoops 103 s ->
+            # one round per source) even though it overcomputes
+            # early-failing walks — device time per pair is ~1 ms; the
+            # syncs were the cost. Duplicate re-checks (reference
+            # semantics: edges pile up weight, GraphicEnd.cpp:887-915)
+            # still replay from the cache.
+            self._scan_source(source)
             checked = []
             for walk in (down, up):
-                pos = 0
-                alive = True
-                while alive and pos < len(walk):
-                    win = walk[pos:pos + self.kf_store.chunk]
-                    fresh = [i for i in win
-                             if (source, i) not in self._check_cache]
-                    if fresh:
-                        results = self.batch_registrar.run_against_one(
-                            self.kf_store, fresh,
-                            self.keyframes[source].features,
-                            self.next_key(), self.loop_closure_inliers,
-                            single_is_target=False)
-                        for i, (T, norm, inl, ok) in zip(fresh, results):
-                            self._check_cache[(source, i)] = (
-                                bool(ok) and norm <= self.loop_closure_error
-                                and inl >= self.loop_closure_inliers, T)
-                    for i in win:
-                        passed, T = self._check_cache[(source, i)]
-                        if not self._apply_check_verdict(source, i, passed, T):
-                            alive = False
-                            break
-                        checked.append(i)
-                    pos += len(win)
+                for i in walk:
+                    passed, T = self._check_cache[(source, i)]
+                    if not self._apply_check_verdict(source, i, passed, T):
+                        break
+                    checked.append(i)
             return checked
 
         checked = []
