@@ -210,7 +210,8 @@ def main() -> int:
     feat = frame_step(empty_frame(n_planes, max_kp, 128),
                       grays[0], depths[0], keys[1])[0]
     jax.block_until_ready(feat)
-    log(f"compile+first step: {time.time() - t0:.1f}s")
+    first_step_s = time.time() - t0
+    log(f"compile+first step: {first_step_s:.1f}s")
     for i in range(3):
         feat, *_ = frame_step(feat, grays[(i + 1) % n_src],
                               depths[(i + 1) % n_src], keys[2 + i])
@@ -248,6 +249,7 @@ def main() -> int:
         "detector": detector,
         "model_gflops_per_frame": round(gflops, 3),
         "mfu": round(mfu, 6),
+        "first_step_s": round(first_step_s, 1),
     }))
     return 0
 
