@@ -77,9 +77,23 @@ def read_pcd(path: str) -> Tuple[np.ndarray, np.ndarray]:
     Supports DATA ascii and DATA binary, FIELDS `x y z [rgb|rgba]`.
     Missing color yields zeros. Trailing pad bytes after POINTS*stride
     are ignored (the reference fixture has them).
+
+    The native codec (native/pcd_codec.cc, same field contract and
+    float-rgb bit-pattern semantics) serves ASCII files ~10x faster
+    than np.loadtxt; for DATA binary numpy's frombuffer is faster than
+    the native per-point loop, so binary (and any exotic layout) uses
+    the Python parser below.
     """
     with open(path, "rb") as f:
         raw = f.read()
+    if b"\nDATA ascii" in raw[:4096]:
+        try:
+            from .. import native_io
+
+            if native_io.available():
+                return native_io.pcd_read(path)
+        except Exception:
+            pass
 
     # header: ascii lines until DATA line
     pos = 0

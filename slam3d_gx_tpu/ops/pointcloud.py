@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # backprojection
@@ -126,6 +127,38 @@ def voxel_downsample(xyz, rgb, mask, leaf, capacity=None):
     out_mask = cnt > 0
     denom = jnp.where(out_mask, cnt, 1.0)[:, None]
     return sum_xyz / denom, sum_rgb / denom, out_mask
+
+
+def voxel_downsample_host(xyz, rgb, mask, leaf):
+    """Numpy twin of voxel_downsample for host-side offline tools.
+
+    Same semantics (per-voxel centroid of position and color, voxels
+    emitted in sorted-leaf order, f32 accumulation) without the device
+    round-trip: saveOutput fuses one ~300k-point cloud per keyframe,
+    and through a relay-attached TPU each round-trip costs ~0.45 s vs
+    ~25 ms here. Returns packed ((V,3) xyz, (V,3) rgb) — no padding or
+    mask, V = number of occupied voxels.
+    """
+    xyz = np.asarray(xyz, np.float32)
+    rgb = np.asarray(rgb, np.float32)
+    m = np.asarray(mask, bool)
+    pts, col = xyz[m], rgb[m]
+    if pts.shape[0] == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+    inv_leaf = np.float32(1.0) / np.float32(leaf)
+    ijk = np.floor(pts * inv_leaf).astype(np.int32)
+    ijk -= ijk.min(axis=0)
+    span = ijk.max(axis=0) + 1
+    ids = ijk[:, 0] * (span[1] * span[2]) + ijk[:, 1] * span[2] + ijk[:, 2]
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], ids_s[1:] != ids_s[:-1]]))
+    cnt = np.diff(np.concatenate([starts, [ids_s.size]]))
+    sum_xyz = np.add.reduceat(pts[order], starts, axis=0)
+    sum_rgb = np.add.reduceat(col[order], starts, axis=0)
+    denom = cnt.astype(np.float32)[:, None]
+    return sum_xyz / denom, sum_rgb / denom
 
 
 def compact(xyz, mask, *extras):

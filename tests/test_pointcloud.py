@@ -88,3 +88,26 @@ def test_voxel_downsample_respects_mask(rng):
     exp_xyz, _ = _voxel_oracle(xyz[:10], rgb[:10], 0.05)
     assert got.shape == exp_xyz.shape
     np.testing.assert_allclose(np.sort(got, axis=0), np.sort(exp_xyz, axis=0), atol=1e-4)
+
+
+def test_voxel_downsample_host_matches_device(rng):
+    """saveOutput fuses with the numpy twin (cli/save_output.py); the
+    two implementations must agree voxel-for-voxel in emit order."""
+    xyz = rng.uniform(-2, 2, size=(3000, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 255, size=(3000, 3)).astype(np.float32)
+    mask = rng.uniform(size=3000) < 0.8
+    vx, vc, vm = pointcloud.voxel_downsample(
+        jnp.asarray(xyz), jnp.asarray(rgb), jnp.asarray(mask), 0.1
+    )
+    dev_xyz, dev_rgb = pointcloud.compact(vx, vm, vc)
+    host_xyz, host_rgb = pointcloud.voxel_downsample_host(xyz, rgb, mask, 0.1)
+    assert host_xyz.shape == dev_xyz.shape
+    np.testing.assert_allclose(host_xyz, dev_xyz, atol=1e-4)
+    np.testing.assert_allclose(host_rgb, dev_rgb, atol=1e-2)
+
+
+def test_voxel_downsample_host_empty():
+    out_xyz, out_rgb = pointcloud.voxel_downsample_host(
+        np.zeros((10, 3), np.float32), np.zeros((10, 3), np.float32),
+        np.zeros(10, bool), 0.1)
+    assert out_xyz.shape == (0, 3) and out_rgb.shape == (0, 3)
