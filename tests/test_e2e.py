@@ -273,3 +273,26 @@ def test_eval_protocol_with_tum_tools(imageonly_run, tmp_path_factory):
     rpe = float([l for l in r.stdout.splitlines()
                  if "translational_error.rmse" in l][0].split()[1])
     assert rpe < 0.05, f"RPE vs TUM tool: {rpe}"
+
+
+def test_bulk_scan_verdicts_match_single_pair(imageonly_run):
+    """find_more_loops fills the verdict cache via the bulk per-source
+    scan (graphic_end._scan_source); each cached verdict must agree
+    with a direct single-pair registration (the sequential fallback
+    path, graphic_end.check) — same pair order, same gates."""
+    from slam3d_gx_tpu.frontend.state import result_to_host
+
+    ge = imageonly_run[0]
+    items = list(ge._check_cache.items())
+    assert items, "bulk scan populated no verdicts"
+    step = max(1, len(items) // 10)
+    for (src, tgt), (passed, _T) in items[::step][:10]:
+        res = ge.multipnp(
+            ge.keyframes[src].features, ge.keyframes[tgt].features,
+            ge.next_key(), ge.loop_closure_inliers)
+        _, norm, inl, ok = result_to_host(res)
+        single = (bool(ok) and norm <= ge.loop_closure_error
+                  and inl >= ge.loop_closure_inliers)
+        assert single == passed, (
+            f"pair ({src},{tgt}): bulk={passed} single={single} "
+            f"(norm {norm:.3f}, inliers {inl})")
