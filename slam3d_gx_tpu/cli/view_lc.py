@@ -50,6 +50,8 @@ def view(lc_path: str, params: ParameterReader | None = None, out_dir: str = "./
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     lc = argv[0] if argv else "./data/lc.txt"
+    if len(argv) > 1:
+        return view(lc, out_dir=argv[1])
     return view(lc)
 
 
