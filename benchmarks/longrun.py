@@ -36,7 +36,7 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     n_frames = int(argv[0]) if argv else 1000
     chunk = int(argv[1]) if len(argv) > 1 else 16
-    root = argv[2] if len(argv) > 2 else "/tmp/slam3d_longrun/ds"
+    root = argv[2] if len(argv) > 2 else f"/tmp/slam3d_longrun/ds{n_frames}"
 
     mpc = float(os.environ.get("LONG_MPC", "0.08"))
     detector = os.environ.get("LONG_DETECTOR", "GFTT")
@@ -63,11 +63,21 @@ def main(argv=None) -> int:
     intr = CameraIntrinsics(fx=517.0, fy=517.0, cx=318.6, cy=255.3,
                             factor=5000.0)
     traj = synthetic.multi_loop_trajectory(n_frames)
-    if not os.path.exists(os.path.join(root, "associate.txt")):
+    assoc = os.path.join(root, "associate.txt")
+    if not os.path.exists(assoc):
         log(f"generating {n_frames}-frame 640x480 dataset at {root}...")
         scene = synthetic.RoomScene(seed=3)
         synthetic.write_dataset(root, scene, traj, intr, height=480,
                                 width=640, write_pcd=True)
+    with open(assoc) as f:
+        n_cached = sum(1 for line in f if line.strip())
+    if n_cached != n_frames:
+        # the ground truth below is recomputed from n_frames; scoring a
+        # cached dataset of a different length against it would report
+        # silently wrong ATE/RPE
+        raise SystemExit(
+            f"dataset at {root} has {n_cached} frames but n_frames="
+            f"{n_frames}; delete it or pass a different root")
 
     datadir = os.path.join(os.path.dirname(root.rstrip("/")), "data")
     params = ParameterReader(None, overrides=dict(
@@ -81,9 +91,17 @@ def main(argv=None) -> int:
     ge = cls(params, data_dir=datadir, chunk=chunk)
     slam = SLAMEnd()
     if os.environ.get("LONG_PARWARM", "1") == "1":
-        from streaming_wall import warm_compiles_parallel
+        # resolve the sibling module by path: sys.path[0] is only
+        # benchmarks/ when this file is executed directly
+        import importlib.util
 
-        warm_compiles_parallel(ge, chunk, kind, log)
+        spec = importlib.util.spec_from_file_location(
+            "streaming_wall",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "streaming_wall.py"))
+        streaming_wall = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(streaming_wall)
+        streaming_wall.warm_compiles_parallel(ge, chunk, kind, log)
     t0 = time.time()
     ge.init(slam)
     slam.init(ge)

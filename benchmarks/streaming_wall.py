@@ -47,12 +47,16 @@ def warm_compiles_parallel(ge, chunk, kind, log, h=480, w=640):
     import numpy as np
 
     from slam3d_gx_tpu.frontend.state import empty_frame
+    from slam3d_gx_tpu.ops.features import registry as feat_registry
 
     key = jax.random.PRNGKey(99)
     gray_u8 = jnp.zeros((h, w), jnp.uint8)
     depth_u16 = jnp.full((h, w), 9000, jnp.uint16)
     p = 1 if kind != "planes" else ge.max_planes
-    f0 = empty_frame(p, ge.max_kp, 128)
+    # dim must match the configured descriptor or every warmed program
+    # has the wrong jit signature and the warm is wasted
+    f0 = empty_frame(p, ge.max_kp,
+                     feat_registry.descriptor_dim(ge.descriptor_name))
 
     def warm_perframe():
         # dtypes must match graphic_end.readimage exactly (u8 gray, u16
@@ -129,13 +133,19 @@ def main(argv=None) -> int:
                             factor=5000.0)
     root = os.environ.get(
         "WALL_DS", f"/tmp/slam3d_wall_640x480_{n_frames}")
-    if not os.path.exists(os.path.join(root, "associate.txt")):
+    # the cache probe must match what THIS mode consumes: an imageonly
+    # run caches a PCD-less dataset at the same root, which a later
+    # planes run cannot reuse
+    need_pcd = kind == "planes"
+    have = os.path.exists(os.path.join(root, "associate.txt")) and (
+        not need_pcd or os.path.exists(os.path.join(root, "pcd", "1.pcd")))
+    if not have:
         log(f"generating {n_frames}-frame 640x480 dataset at {root}...")
         scene = synthetic.RoomScene(seed=3)
         traj = synthetic.orbit_trajectory(
             n_frames, radius=0.25, yaw_amp=0.15)
         synthetic.write_dataset(root, scene, traj, intr, height=480,
-                                width=640, write_pcd=(kind == "planes"))
+                                width=640, write_pcd=need_pcd)
 
     params = ParameterReader(None, overrides=dict(
         data_source=root, detector_name=detector,

@@ -418,12 +418,12 @@ class _StreamingMixin:
                 self._log("error_of_transform.log", f"{norm:g}\n")
                 self.robot = T @ self.kf_pos
                 self.lost = 0
+                feat_j = _take(feats, jnp.int32(j))
                 if new_kf:
-                    feat_j = _take(feats, jnp.int32(j))
                     self.generate_keyframe(T, feat_j)
                     if self.loop_closure_detection:
                         self.loop_closure()
-                self.last = _take(feats, jnp.int32(j))
+                self.last = feat_j
                 self.last_frame_index = idx
                 last_ptr = j
             applied += 1

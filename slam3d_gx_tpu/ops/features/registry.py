@@ -85,6 +85,18 @@ def create_descriptor(name: str):
     raise ValueError(f"unknown descriptor name: {name!r}")
 
 
+def descriptor_dim(descriptor_name: str) -> int:
+    """Descriptor vector length for a config name — the D of the (K,D)
+    arrays create_descriptor's functions return. Used to pre-build
+    shape-exact dummy features (compile warming, empty_frame)."""
+    key = descriptor_name.strip().upper()
+    if key == "SURF":
+        return 64
+    if key in ("ORB", "BRIEF"):
+        return 256
+    return 128
+
+
 def match_floor(descriptor_name: str) -> float:
     """Distance floor for the 3*min_dist good-match gate.
 

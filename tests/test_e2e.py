@@ -286,13 +286,26 @@ def test_bulk_scan_verdicts_match_single_pair(imageonly_run):
     items = list(ge._check_cache.items())
     assert items, "bulk scan populated no verdicts"
     step = max(1, len(items) // 10)
+    checked = 0
     for (src, tgt), (passed, _T) in items[::step][:10]:
         res = ge.multipnp(
             ge.keyframes[src].features, ge.keyframes[tgt].features,
             ge.next_key(), ge.loop_closure_inliers)
         _, norm, inl, ok = result_to_host(res)
+        # the two paths draw different RANSAC keys, so verdicts are only
+        # deterministic away from the gates: skip pairs whose fresh draw
+        # lands within a margin of either threshold
+        near_gate = (
+            abs(float(inl) - ge.loop_closure_inliers) <= 2
+            or abs(float(norm) - ge.loop_closure_error)
+            <= 0.1 * ge.loop_closure_error
+        )
+        if near_gate:
+            continue
+        checked += 1
         single = (bool(ok) and norm <= ge.loop_closure_error
                   and inl >= ge.loop_closure_inliers)
         assert single == passed, (
             f"pair ({src},{tgt}): bulk={passed} single={single} "
             f"(norm {norm:.3f}, inliers {inl})")
+    assert checked >= 3, "too few decisive pairs to compare"
