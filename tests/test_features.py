@@ -151,3 +151,17 @@ def test_descriptors_match_across_views(rng):
             good += 1
     assert total >= 20
     assert good / total > 0.6, f"{good}/{total} correct matches"
+
+
+def test_descriptor_dim_matches_descriptor_output():
+    """registry.descriptor_dim must agree with the (K,D) shape each
+    create_descriptor function actually returns — compile warming
+    (benchmarks/streaming_wall.warm_compiles_parallel) builds dummy
+    features from it, and a mismatch silently wastes the entire warm."""
+    from slam3d_gx_tpu.ops.features import registry
+
+    img = jnp.asarray(checkerboard())
+    for name in ("SIFT", "SURF", "SURF_SIFT", "ORB"):
+        kps = harris.detect_gftt(img, max_kp=16)
+        d = registry.create_descriptor(name)(img, kps)
+        assert d.shape == (16, registry.descriptor_dim(name)), name
