@@ -46,3 +46,20 @@ def _enable_compilation_cache():
 
 
 _enable_compilation_cache()
+
+
+def _apply_platform_override():
+    """SLAM3D_PLATFORM=cpu|tpu|... forces the jax backend at import
+    time (before any device query). Needed because JAX_PLATFORMS in the
+    environment is pre-empted on hosts whose sitecustomize imports jax
+    first — see utils/platform.py."""
+    if _os.environ.get("SLAM3D_PLATFORM"):
+        try:
+            from .utils.platform import select_platform
+
+            select_platform()
+        except Exception:
+            pass
+
+
+_apply_platform_override()

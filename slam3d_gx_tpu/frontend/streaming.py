@@ -436,6 +436,13 @@ class _StreamingMixin:
                 # (self.index still at idx here).
                 feat_j = _take(feats, jnp.int32(j))
                 self.lost_recovery(feat_j)
+                # run() resets its last-frame rescue reference after a
+                # recovery (graphic_end.py run(): self.last = present);
+                # the replayed frames below must rescue against this
+                # frame, not the stale pre-blackout one
+                self.last = feat_j
+                self.last_frame_index = idx
+                last_ptr = j
                 self.index = idx + 1  # run()'s post-recovery increment
                 for k in range(j + 1, len(indices)):
                     self.index = indices[k]

@@ -85,15 +85,19 @@ def read_pcd(path: str) -> Tuple[np.ndarray, np.ndarray]:
     the Python parser below.
     """
     with open(path, "rb") as f:
-        raw = f.read()
-    if b"\nDATA ascii" in raw[:4096]:
-        try:
-            from .. import native_io
+        head = f.read(4096)
+        if b"\nDATA ascii" in head:
+            # route by header only — don't slurp the file before
+            # delegating, and fall through to the Python parser on any
+            # native-codec failure (import, availability, or parse)
+            try:
+                from .. import native_io
 
-            if native_io.available():
-                return native_io.pcd_read(path)
-        except Exception:
-            pass
+                if native_io.available():
+                    return native_io.pcd_read(path)
+            except Exception:
+                pass
+        raw = head + f.read()
 
     # header: ascii lines until DATA line
     pos = 0

@@ -277,7 +277,13 @@ class BatchedRegistrar:
         index, [20] valid flag) for a deferred single-transfer drain."""
         from ..frontend.state import pack_result
 
-        b = idx_dev.shape[0]
+        b = mesh_mod.pad_to_multiple(idx_dev.shape[0], self.dp)
+        if b != idx_dev.shape[0]:
+            # mesh-sharded fn requires B % dp == 0; padded rows are
+            # flagged invalid so the drain discards them
+            pad = b - idx_dev.shape[0]
+            idx_dev = jnp.pad(idx_dev, (0, pad))
+            valid_dev = jnp.pad(valid_dev, (0, pad))
         gathered = store.gather_dev(idx_dev)
         bcast = store.broadcast(single, n=b)
         keys = jax.random.split(key, b)

@@ -27,6 +27,26 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def _host_fingerprint() -> str:
+    """CPU-microarchitecture fingerprint: machine arch + model name +
+    feature flags (the bits that decide which ISA extensions XLA:CPU
+    codegen may emit)."""
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                k = line.split(":", 1)[0].strip()
+                if k in ("model name", "flags", "Features"):
+                    parts.append(line.split(":", 1)[1].strip())
+                    if len(parts) >= 3:
+                        break
+    except OSError:
+        parts.append(platform.processor() or "unknown")
+    return "|".join(parts)
+
+
 def enable(jax) -> str | None:
     """Point jax at the platform-keyed cache dir; returns the path or
     None when disabled/unavailable. Safe to call more than once."""
@@ -47,6 +67,14 @@ def enable(jax) -> str | None:
         # server-side compile cache anyway. Never enable the jax cache
         # there unless explicitly forced.
         return None
+    if jax.default_backend() == "cpu":
+        # platform_version does NOT capture the host CPU
+        # microarchitecture for the cpu backend — an executable
+        # compiled on one machine can SIGILL on another with the same
+        # jax build string (the round-1 failure mode). Fold a host
+        # fingerprint into the key so committed entries from a
+        # different machine miss instead of deserializing.
+        ver = ver + "|" + _host_fingerprint()
     key = hashlib.sha1(ver.encode()).hexdigest()[:12]
     root = os.environ.get("SLAM3D_CACHE_DIR") or os.path.join(
         _REPO_ROOT, ".xla_cache")
