@@ -140,6 +140,16 @@ DEFAULTS: Dict[str, str] = {
     # silently mixes the unit systems, src/convert2PCD.cpp:19-23 vs
     # parameters.yaml:86); 0 = raw reference behavior
     "align_cloud_scale": "1",
+    # multi-chip: 0 (default) = single device, no mesh; N>1 = build a
+    # (dp, sp) mesh over the first N jax devices (parallel/mesh.py) and
+    # run the deployed application sharded — loop-closure/recovery
+    # candidate verification fans out over dp, the scored keyframe
+    # database shards over sp, and the finalize pose-graph solve shards
+    # its edge set over dp; -1 = all visible devices. The reference
+    # workloads these shard: the 30-candidate loop round
+    # (src/GraphicEnd.cpp:729-761), the O(K) recovery scan (:810-836),
+    # and optimize(200) (:669-670).
+    "mesh_devices": "0",
 }
 
 # Intrinsics preset blocks the reference ships commented out

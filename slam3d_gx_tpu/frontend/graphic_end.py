@@ -93,6 +93,7 @@ class GraphicEnd:
 
         self._rng = random.Random(self.seed)
         self._key = jax.random.PRNGKey(self.seed)
+        self.mesh = self._make_mesh(p.get_int("mesh_devices"))
         self._build_pipeline()
         self.lcdb = None  # built lazily when loop_closure_scored is on
         self.kf_store = None  # device-resident keyframe features
@@ -122,6 +123,16 @@ class GraphicEnd:
         self._check_cache = {}  # (k1,k2) -> (passed, T) pair verdicts
 
     # -- construction ------------------------------------------------------
+    def _make_mesh(self, n: int):
+        """Deployed multi-chip: `mesh_devices: N` builds the (dp, sp)
+        mesh every sharded component below consumes. 0 = single device
+        (no mesh, no code fork); -1 = all visible devices."""
+        if n == 0 or (n == -1 and len(jax.devices()) == 1):
+            return None
+        from ..parallel import mesh as mesh_mod
+
+        return mesh_mod.make_mesh(None if n == -1 else n)
+
     def _build_pipeline(self):
         self.extract = pipeline.build_plane_extractor(
             self.detector_name, self.descriptor_name, self.intr,
@@ -156,6 +167,7 @@ class GraphicEnd:
             self.intr, image_only=image_only,
             error_threshold=self.error_threshold,
             hypotheses=self.hypotheses,
+            mesh=self.mesh,
             match_floor=feat_registry.match_floor(self.descriptor_name),
         )
 
@@ -184,6 +196,7 @@ class GraphicEnd:
             self.lcdb = KeyframeDatabase(
                 n_desc=f.desc.shape[0] * f.desc.shape[1],
                 dim=f.desc.shape[2],
+                mesh=self.mesh,
                 match_floor=feat_registry.match_floor(self.descriptor_name))
         self.lcdb.add(kf.features)
 
@@ -778,7 +791,8 @@ class GraphicEnd:
         fixed data-dir paths (src/GraphicEnd.cpp:661-682)."""
         self.drain_pending_loop_closures()
         self.find_more_loops()
-        self.opt.optimize(self.params.get_int("optimize_step"))
+        self.opt.optimize(self.params.get_int("optimize_step"),
+                          mesh=self.mesh)
         os.makedirs(self.data_dir, exist_ok=True)
         tum.write_keyframes(
             os.path.join(self.data_dir, "keyframe.txt"),

@@ -287,6 +287,16 @@ class BatchedRegistrar:
         gathered = store.gather_dev(idx_dev)
         bcast = store.broadcast(single, n=b)
         keys = jax.random.split(key, b)
+        if self.mesh is not None:
+            # inputs arriving from other mesh programs (e.g. the sharded
+            # lcdb's candidate indices) are committed with a replicated
+            # spec; jit in_shardings refuses the mismatch instead of
+            # resharding, so shard the batch axis explicitly here
+            dp = NamedSharding(self.mesh, P(mesh_mod.DP_AXIS))
+            gathered = jax.tree.map(
+                lambda x: jax.device_put(x, dp), gathered)
+            bcast = jax.tree.map(lambda x: jax.device_put(x, dp), bcast)
+            keys = jax.device_put(keys, dp)
         res = self.fn(gathered, bcast, keys, jnp.int32(min_inliers))
         return _pack_with_meta(pack_result(res), idx_dev, valid_dev)
 
