@@ -1,29 +1,53 @@
 """Headline benchmark: plane-SLAM frontend throughput on one chip.
 
-Measures steady-state frames/sec of the full per-frame frontend
-(backproject -> z-filter -> decimate -> plane RANSAC -> plane coverage
-images -> keypoints -> descriptors -> multiPnP against the previous
-frame) on TUM-fr1-shaped
-640x480 RGB-D input — the reference's hot loop (SURVEY.md §3.1), which
-it could not run in real time ("computational cost is too high to meet
-real-time requirements", reference README:15).
+Three phases, each attested in the SINGLE JSON line this script always
+prints (the driver's only surviving evidence):
 
-Baseline: the BASELINE.md north star of 30 FPS real-time frontend.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. step/GFTT  — steady-state jitted per-frame frontend FPS (backproject
+   -> z-filter -> plane RANSAC -> coverage images -> keypoints ->
+   descriptors -> multiPnP) at 640x480, GFTT detector. This is the
+   historical headline (comparable across rounds).
+2. step/SIFT  — same protocol with the reference's default detector
+   (reference parameters.yaml:8-9).
+3. streaming  — the deployed `run_SLAM_streaming` wall rate at chunk=32
+   on a disk dataset (benchmarks/streaming_wall.py protocol): host PNG
+   decode + upload + chunked on-device tracking + loop closure + logs.
 
-Env overrides: BENCH_FRAMES (timed steps), BENCH_DETECTOR, BENCH_MAXKP,
-BENCH_HYPOTHESES, BENCH_MODE=planes|imageonly (GraphicEnd vs GraphicEnd2
-pipeline).
+Wedge-proofing (the round-3 failure: the remote relay can wedge so that
+any device sync hangs forever — BENCH_r03 was rc=124/parsed:null):
+- the orchestrator process NEVER touches the device; every phase runs
+  in a subprocess with a hard kill timeout;
+- a 60 s subprocess matmul probe gates each phase, with a bounded
+  re-probe loop (the relay sometimes un-wedges within minutes);
+- one parseable JSON line is ALWAYS printed: fresh numbers when
+  measured, `bench_last_good.json` values (flagged "stale") when not,
+  `"wedged": true` when the relay never recovered.
+
+Env overrides: BENCH_FRAMES (timed steps/phase), BENCH_MAXKP,
+BENCH_HYPOTHESES, BENCH_BUDGET_S (total wall budget, default 1260),
+BENCH_PHASE_TIMEOUT_S / BENCH_STREAM_TIMEOUT_S, BENCH_STREAM_FRAMES,
+BENCH_CHUNK (streaming chunk, default 32), BENCH_SKIP_PHASES
+(comma-list of step_gfft,step_sift,streaming).
+Compat (single-phase worker mode, also used internally):
+`bench.py --phase step|streaming` honors BENCH_DETECTOR and
+BENCH_MODE=planes|imageonly|streaming like earlier rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+LAST_GOOD_PATH = os.path.join(_REPO, "bench_last_good.json")
+BASELINE_FPS = 30.0
 
 
 def log(*a):
@@ -62,25 +86,22 @@ def flops_model(h, w, detector, max_kp, hypotheses, n_planes,
     return f
 
 
-def enable_compile_cache(jax):
-    """Persistent compile cache keyed on the exact platform build, now
-    repo-local and pre-seeded (utils/compile_cache.py): a fresh checkout
-    on the same platform build starts warm. Opt out with
-    BENCH_NO_CACHE=1 / SLAM3D_NO_CACHE=1."""
-    from slam3d_gx_tpu.utils import compile_cache
+# ---------------------------------------------------------------------------
+# worker: one measured phase in this process (called in a subprocess)
+# ---------------------------------------------------------------------------
 
-    path = compile_cache.enable(jax)
-    log(f"compile cache: {path}")
-
-
-def main() -> int:
+def run_step_phase() -> int:
+    """Steady-state jitted per-frame step FPS. Emits one JSON line."""
     import jax
     import jax.numpy as jnp
 
-    enable_compile_cache(jax)
+    from slam3d_gx_tpu.utils import compile_cache
+
+    log(f"compile cache: {compile_cache.enable(jax)}")
 
     from slam3d_gx_tpu.config import CameraIntrinsics
     from slam3d_gx_tpu.frontend import pipeline
+    from slam3d_gx_tpu.frontend.state import empty_frame
     from slam3d_gx_tpu.ops import pointcloud
     from slam3d_gx_tpu.testing import synthetic
 
@@ -93,7 +114,6 @@ def main() -> int:
     max_kp = int(os.environ.get("BENCH_MAXKP", "512"))
     hypotheses = int(os.environ.get("BENCH_HYPOTHESES", "256"))
     mode = os.environ.get("BENCH_MODE", "planes")
-    baseline_fps = 30.0
 
     log(f"bench: {mode} {detector}/SIFT max_kp={max_kp} hyp={hypotheses} "
         f"{w}x{h} on {jax.devices()[0].platform}")
@@ -110,67 +130,6 @@ def main() -> int:
                     0, 255).astype(np.uint8)
         grays.append(jnp.asarray(g))
         depths.append(jnp.asarray(d.astype(np.uint16)))
-
-    # --- jitted per-frame step -------------------------------------------
-    from slam3d_gx_tpu.frontend.state import empty_frame
-
-    if mode == "streaming":
-        # chunked on-device tracking (frontend/streaming.py): N frames
-        # per host round-trip. Measures the streaming step rate — the
-        # compute path of run_SLAM_streaming minus file IO.
-        from slam3d_gx_tpu.frontend.streaming import build_tracker
-
-        chunk = int(os.environ.get("BENCH_CHUNK", "8"))
-        extract_img = pipeline.build_image_extractor(
-            detector, "SIFT", intr, max_kp=max_kp)
-        multipnp = pipeline.build_multipnp_image(intr, hypotheses=hypotheses)
-        tracker = build_tracker(
-            lambda g, d, k: extract_img(g, d), multipnp,
-            max_pos_change=0.25, chunk=chunk)
-
-        from slam3d_gx_tpu.frontend.state import empty_frame
-
-        g_chunks = [jnp.stack([grays[(c * chunk + i) % n_src]
-                               for i in range(chunk)])
-                    for c in range(4)]
-        d_chunks = [jnp.stack([depths[(c * chunk + i) % n_src]
-                               for i in range(chunk)])
-                    for c in range(4)]
-        kf_feat = empty_frame(1, max_kp, 128)
-        kf_pos = jnp.eye(4, dtype=jnp.float32)
-        robot = jnp.eye(4, dtype=jnp.float32)
-        lost = jnp.int32(0)
-        key = jax.random.PRNGKey(0)
-
-        def run_chunk(carry, c, key):
-            keys = jax.random.split(key, chunk)
-            carry, feats, recs = tracker(
-                *carry, g_chunks[c % 4], d_chunks[c % 4], keys)
-            return carry, np.asarray(recs)  # the per-chunk readback
-
-        carry = (kf_feat, kf_pos, robot, lost, kf_feat)
-        t0 = time.time()
-        carry, recs = run_chunk(carry, 0, key)
-        log(f"compile+first chunk: {time.time() - t0:.1f}s")
-
-        n_chunks = max(1, n_timed // chunk)
-        t0 = time.time()
-        for c in range(n_chunks):
-            key, sub = jax.random.split(key)
-            carry, recs = run_chunk(carry, c, sub)
-        dt = time.time() - t0
-        fps = n_chunks * chunk / dt
-        log(f"{n_chunks * chunk} frames in {dt:.2f}s -> {fps:.2f} FPS "
-            f"(streaming, chunk={chunk}, 1 readback/chunk)")
-        print(json.dumps({
-            "metric": "streaming_frontend_fps_640x480",
-            "value": round(fps, 3),
-            "unit": "frames/sec",
-            "vs_baseline": round(fps / baseline_fps, 3),
-            "detector": detector,
-            "chunk": chunk,
-        }))
-        return 0
 
     if mode == "imageonly":
         extract_img = pipeline.build_image_extractor(
@@ -209,13 +168,15 @@ def main() -> int:
     t0 = time.time()
     feat = frame_step(empty_frame(n_planes, max_kp, 128),
                       grays[0], depths[0], keys[1])[0]
-    jax.block_until_ready(feat)
+    # NB: block_until_ready does not block through the remote relay;
+    # only a host transfer of a data-dependent value truly syncs
+    np.asarray(feat.coeffs)
     first_step_s = time.time() - t0
     log(f"compile+first step: {first_step_s:.1f}s")
     for i in range(3):
         feat, *_ = frame_step(feat, grays[(i + 1) % n_src],
                               depths[(i + 1) % n_src], keys[2 + i])
-    np.asarray(feat.coeffs)  # real sync (see note below)
+    np.asarray(feat.coeffs)
 
     # --- timed steady-state loop ------------------------------------------
     t0 = time.time()
@@ -224,10 +185,7 @@ def main() -> int:
         j = i % n_src
         feat, T, norm, inl = frame_step(feat, grays[j], depths[j], keys[4 + i])
         out.append((T, norm, inl))
-    # NB: force a real host transfer — through remote-relay device
-    # plugins block_until_ready can return before execution finishes;
-    # np.asarray of a value data-dependent on every frame cannot
-    np.asarray(out[-1][0])
+    np.asarray(out[-1][0])  # real sync (data-dependent on every frame)
     dt = time.time() - t0
     fps = n_timed / dt
 
@@ -238,20 +196,207 @@ def main() -> int:
     gflops = flops_model(h, w, detector, max_kp, hypotheses, n_planes) / 1e9
     mfu = gflops * 1e9 * fps / PEAK_FLOPS_BF16
     log(f"flops model: {gflops:.2f} GFLOP/frame -> "
-        f"{gflops * fps:.0f} GFLOP/s, MFU {mfu * 100:.3f}% "
-        f"(latency-bound workload; roofline anchor, not a target)")
+        f"{gflops * fps:.0f} GFLOP/s, MFU {mfu * 100:.3f}%")
 
     print(json.dumps({
         "metric": "frontend_fps_640x480",
         "value": round(fps, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / baseline_fps, 3),
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
         "detector": detector,
         "model_gflops_per_frame": round(gflops, 3),
         "mfu": round(mfu, 6),
         "first_step_s": round(first_step_s, 1),
     }))
     return 0
+
+
+# ---------------------------------------------------------------------------
+# orchestrator: probe-gated subprocess phases, always emits one line
+# ---------------------------------------------------------------------------
+
+def _probe(timeout: float = 60.0) -> bool:
+    from slam3d_gx_tpu.utils.platform import probe
+
+    t0 = time.time()
+    ok = probe(timeout=timeout)
+    log(f"probe: {'ok' if ok else 'WEDGED/timeout'} "
+        f"({time.time() - t0:.1f}s)")
+    return ok
+
+
+def _run_phase(cmd, timeout: float, extra_env=None):
+    """Run one measurement subprocess; return its last-stdout-line JSON
+    dict, or None on timeout/failure/unparseable output."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra_env or {})
+    log(f"phase: {' '.join(cmd)} (timeout {timeout:.0f}s)")
+    try:
+        r = subprocess.run(cmd, env=env, timeout=timeout,
+                           stdout=subprocess.PIPE, stderr=sys.stderr)
+    except subprocess.TimeoutExpired:
+        log("phase: KILLED on timeout")
+        return None
+    if r.returncode != 0:
+        log(f"phase: rc={r.returncode}")
+        return None
+    for line in reversed(r.stdout.decode(errors="replace").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    log("phase: no JSON line in stdout")
+    return None
+
+
+def _load_last_good() -> dict:
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def orchestrate() -> int:
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1260"))
+    deadline = time.time() + budget
+    phase_timeout = float(os.environ.get("BENCH_PHASE_TIMEOUT_S", "420"))
+    stream_timeout = float(os.environ.get("BENCH_STREAM_TIMEOUT_S", "600"))
+    stream_frames = os.environ.get("BENCH_STREAM_FRAMES", "96")
+    chunk = os.environ.get("BENCH_CHUNK", "32")
+    skip = set(filter(None, os.environ.get(
+        "BENCH_SKIP_PHASES", "").split(",")))
+
+    last_good = _load_last_good()
+    fresh: dict[str, dict] = {}
+    wedged = False
+
+    def remaining():
+        return deadline - time.time()
+
+    def ensure_alive() -> bool:
+        """Probe until healthy or out of budget (re-probe about every
+        8 min — the wedge sometimes clears server-side)."""
+        nonlocal wedged
+        while remaining() > 75:
+            if _probe(min(60, remaining() - 10)):
+                wedged = False
+                return True
+            wedged = True
+            nap = min(480, max(0, remaining() - 75))
+            if nap <= 0:
+                break
+            log(f"relay wedged; re-probing in {nap:.0f}s "
+                f"({remaining():.0f}s budget left)")
+            time.sleep(nap)
+        return False
+
+    phases = []
+    if "step_gfft" not in skip:
+        phases.append(("step_gfft",
+                       [sys.executable, os.path.abspath(__file__),
+                        "--phase", "step"],
+                       phase_timeout, {"BENCH_DETECTOR": "GFTT"}))
+    if "step_sift" not in skip:
+        phases.append(("step_sift",
+                       [sys.executable, os.path.abspath(__file__),
+                        "--phase", "step"],
+                       phase_timeout, {"BENCH_DETECTOR": "SIFT"}))
+    if "streaming" not in skip:
+        phases.append(("streaming",
+                       [sys.executable,
+                        os.path.join(_REPO, "benchmarks",
+                                     "streaming_wall.py"),
+                        stream_frames, chunk, "planes"],
+                       stream_timeout, {"WALL_DETECTOR": "GFTT"}))
+
+    for name, cmd, tmo, env in phases:
+        if remaining() < 90:
+            log(f"phase {name}: skipped (budget exhausted)")
+            continue
+        if not ensure_alive():
+            log(f"phase {name}: skipped (relay wedged)")
+            continue
+        res = _run_phase(cmd, min(tmo, max(60, remaining() - 30)), env)
+        if res is not None:
+            fresh[name] = res
+        else:
+            # a killed phase may itself have wedged the relay — the
+            # next ensure_alive() re-probes before spending more budget
+            log(f"phase {name}: no result")
+
+    # --- assemble the one attested line -----------------------------------
+    def pick(name, field="value"):
+        if name in fresh:
+            return fresh[name].get(field), False
+        lg = last_good.get(name)
+        if lg:
+            return lg.get(field), True
+        return None, True
+
+    gfft, gfft_stale = pick("step_gfft")
+    sift, sift_stale = pick("step_sift")
+    stream, stream_stale = pick("streaming")
+
+    out = {
+        "metric": "frontend_fps_640x480",
+        "value": gfft if gfft is not None else 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": round((gfft or 0.0) / BASELINE_FPS, 3),
+        "sift_fps": sift,
+        "streaming_wall_fps": stream,
+        "streaming_chunk": int(chunk),
+        "wedged": wedged,
+        "fresh_phases": sorted(fresh),
+        "stale_phases": sorted(
+            n for n, s in [("step_gfft", gfft_stale),
+                           ("step_sift", sift_stale),
+                           ("streaming", stream_stale)] if s),
+    }
+    if "step_gfft" in fresh:
+        for k in ("mfu", "first_step_s", "model_gflops_per_frame"):
+            if k in fresh["step_gfft"]:
+                out[k] = fresh["step_gfft"][k]
+    if "streaming" in fresh:
+        for k in ("keyframes", "loop_closures"):
+            if k in fresh["streaming"]:
+                out[f"streaming_{k}"] = fresh["streaming"][k]
+
+    # persist fresh numbers for future wedged rounds
+    if fresh:
+        merged = dict(last_good)
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        for name, res in fresh.items():
+            merged[name] = dict(res, measured_at=stamp)
+        try:
+            with open(LAST_GOOD_PATH, "w") as f:
+                json.dump(merged, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as e:
+            log(f"could not persist last-good: {e}")
+
+    print(json.dumps(out))
+    return 0
+
+
+def main() -> int:
+    if "--phase" in sys.argv:
+        kind = sys.argv[sys.argv.index("--phase") + 1]
+        if kind == "step":
+            return run_step_phase()
+        raise SystemExit(f"unknown phase {kind}")
+    # legacy explicit single-mode runs keep working: imageonly/planes
+    # run the bare step loop in-process; streaming routes to the wall
+    # benchmark phase only
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode in ("imageonly", "planes"):
+        return run_step_phase()
+    if mode == "streaming":
+        os.environ["BENCH_SKIP_PHASES"] = "step_gfft,step_sift"
+    return orchestrate()
 
 
 if __name__ == "__main__":
