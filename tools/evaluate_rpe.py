@@ -65,6 +65,37 @@ def ominus(a, b):
     return np.linalg.inv(a) @ b
 
 
+def scale(a, scalar):
+    """Scale the translational component of a 4x4 matrix (TUM
+    `scale`): applied to the estimated relative motion BEFORE the error
+    composition, not to the final error norm."""
+    out = np.array(a, dtype=np.float64, copy=True)
+    out[:3, 3] *= scalar
+    return out
+
+
+def find_closest_index(L, t):
+    """Index of the closest value in sorted list L (TUM binary search,
+    reference tools/evaluate_rpe.py:110-135 — kept algorithmically
+    identical so tie-breaking matches)."""
+    beginning = 0
+    difference = abs(L[0] - t)
+    best = 0
+    end = len(L)
+    while beginning < end:
+        middle = int((end + beginning) / 2)
+        if abs(L[middle] - t) < difference:
+            difference = abs(L[middle] - t)
+            best = middle
+        if t == L[middle]:
+            return middle
+        elif L[middle] > t:
+            end = middle
+        else:
+            beginning = middle + 1
+    return best
+
+
 def compute_distance(T):
     return float(np.linalg.norm(T[:3, 3]))
 
@@ -127,36 +158,45 @@ def evaluate_trajectory(traj_gt, traj_est, param_max_pairs=10000,
             pairs = [(i, j) for i in range(len(stamps_est))
                      for j in range(len(stamps_est))]
         else:
-            pairs = [(random.randrange(len(stamps_est)),
-                      random.randrange(len(stamps_est)))
+            # randint (not randrange) so a seeded RNG draws the exact
+            # same pair sequence as the TUM script
+            pairs = [(random.randint(0, len(stamps_est) - 1),
+                      random.randint(0, len(stamps_est) - 1))
                      for _ in range(param_max_pairs)]
     else:
+        # TUM semantics: closest index (not first >=), and pairs whose
+        # partner is the final pose are dropped (the reference's
+        # `j != len(traj_est)-1` gate, tools/evaluate_rpe.py:262-266)
         pairs = []
         for i in range(len(index_est)):
-            j = int(np.searchsorted(index_est, index_est[i] + param_delta))
-            if j < len(stamps_est):
+            j = find_closest_index(index_est, index_est[i] + param_delta)
+            if j != len(stamps_est) - 1:
                 pairs.append((i, j))
         if param_max_pairs and len(pairs) > param_max_pairs:
             pairs = random.sample(pairs, param_max_pairs)
 
-    gt_keys = np.array(stamps_gt)
+    # gt association gate: twice the median ground-truth frame interval
+    # (NOT a fixed constant — sparse ground truth widens the gate)
+    gt_interval = float(np.median(np.diff(stamps_gt))) if len(stamps_gt) > 1 else 0.1
+    gt_max_time_difference = 2.0 * gt_interval
 
     def nearest_gt(ts):
-        k = int(np.argmin(np.abs(gt_keys - (ts + param_offset))))
-        return gt_keys[k]
+        return stamps_gt[find_closest_index(stamps_gt, ts + param_offset)]
 
     result = []
     for i, j in pairs:
         ts_a, ts_b = stamps_est[i], stamps_est[j]
         ga, gb = nearest_gt(ts_a), nearest_gt(ts_b)
-        if abs(ga - (ts_a + param_offset)) > 0.2 or abs(gb - (ts_b + param_offset)) > 0.2:
+        if (abs(ga - (ts_a + param_offset)) > gt_max_time_difference
+                or abs(gb - (ts_b + param_offset)) > gt_max_time_difference):
             continue
         E = ominus(
-            ominus(traj_est[ts_b], traj_est[ts_a]),
+            scale(ominus(traj_est[ts_b], traj_est[ts_a]), param_scale),
             ominus(traj_gt[gb], traj_gt[ga]),
         )
-        result.append([ts_a, ts_b,
-                       compute_distance(E) * param_scale, compute_angle(E)])
+        # TUM row layout: est stamps, matched gt stamps, then errors
+        result.append([ts_a, ts_b, ga, gb,
+                       compute_distance(E), compute_angle(E)])
     if not result:
         raise ValueError("couldn't find matching timestamp pairs")
     return result
@@ -177,18 +217,20 @@ def main(argv=None) -> int:
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
+    random.seed(0)  # reproducible downsampling (reference main does too)
     traj_gt = read_trajectory(args.groundtruth_file)
     traj_est = read_trajectory(args.estimated_file)
     result = evaluate_trajectory(
         traj_gt, traj_est, args.max_pairs, args.fixed_delta,
         args.delta, args.delta_unit, args.offset, args.scale)
 
-    trans = np.array(result)[:, 2]
-    rot = np.array(result)[:, 3]
+    trans = np.array(result)[:, 4]
+    rot = np.array(result)[:, 5]
 
     if args.save:
         with open(args.save, "w") as f:
-            f.write("\n".join(" ".join(f"{v}" for v in line) for line in result) + "\n")
+            f.write("\n".join(
+                " ".join("%f" % v for v in line) for line in result) + "\n")
     if args.plot:
         import matplotlib
         matplotlib.use("Agg")
@@ -215,7 +257,9 @@ def main(argv=None) -> int:
         print(f"rotational_error.min {np.min(rot) * 180.0 / np.pi:f} deg")
         print(f"rotational_error.max {np.max(rot) * 180.0 / np.pi:f} deg")
     else:
-        print(f"{np.sqrt(np.dot(trans, trans) / len(trans)):f}")
+        # TUM protocol prints the MEAN translational error (the
+        # reference main's non-verbose output) — not the RMSE
+        print(np.mean(trans))
     return 0
 
 
