@@ -43,6 +43,7 @@ def main(argv=None) -> int:
     max_kp = int(os.environ.get("LCA_MAXKP", "384"))
     hyp = int(os.environ.get("LCA_HYP", "128"))
     modes = os.environ.get("LCA_MODES", "0,1").split(",")
+    max_drift = os.environ.get("LCA_MAXDRIFT", "0")
 
     plat = os.environ.get("LCA_PLATFORM", "").strip().lower()
     if plat:
@@ -79,7 +80,8 @@ def main(argv=None) -> int:
 
     results = {}
     for scored in modes:
-        datadir = f"/tmp/slam3d_lcaudit/data{n_frames}_{h}x{w}_s{scored}"
+        datadir = (f"/tmp/slam3d_lcaudit/data{n_frames}_{h}x{w}_s{scored}"
+                   f"_d{max_drift}")
         import shutil
 
         shutil.rmtree(datadir, ignore_errors=True)
@@ -90,6 +92,7 @@ def main(argv=None) -> int:
             camera_cy=intr.cy, camera_factor=intr.factor,
             max_keypoints=max_kp, ransac_hypotheses=hyp,
             max_pos_change=mpc, loop_closure_scored=scored,
+            loop_closure_max_drift=max_drift,
         ))
         ge = StreamingGraphicEnd(params, data_dir=datadir, chunk=chunk)
         slam = SLAMEnd()
@@ -100,7 +103,18 @@ def main(argv=None) -> int:
         ge.drain_pending_loop_closures()
         os.makedirs(datadir, exist_ok=True)
         slam.globalOptimizer.save(os.path.join(datadir, "final.g2o"))
-        ge.save_final_result()
+        if os.environ.get("LCA_FINALIZE", "0") == "1":
+            # adds findMoreLoops' walk edges + the optimized graph; the
+            # audit itself reads final.g2o (the runtime-accepted edges,
+            # exactly what loopClosure's gates admitted) and only needs
+            # keyframe.txt, written directly below
+            ge.save_final_result()
+        else:
+            from slam3d_gx_tpu.io import tum as _tum
+
+            _tum.write_keyframes(
+                os.path.join(datadir, "keyframe.txt"),
+                [(kf.id, kf.frame_index) for kf in ge.keyframes])
         wall = time.time() - t0
         log(f"scored={scored}: {done} frames, {len(ge.keyframes)} "
             f"keyframes, {wall:.0f}s wall")

@@ -140,6 +140,17 @@ DEFAULTS: Dict[str, str] = {
     # silently mixes the unit systems, src/convert2PCD.cpp:19-23 vs
     # parameters.yaml:86); 0 = raw reference behavior
     "align_cloud_scale": "1",
+    # loop-closure consistency gate: reject an accepted loop edge when
+    # its measured relative translation deviates from the frontend's
+    # running-pose prediction by more than this many meters. 0
+    # (default) = off, reference parity (the reference gates only on
+    # norm/inliers, src/GraphicEnd.cpp:739-760). Turn on (e.g. 0.5) in
+    # scenes with repeated structure: the lc_audit harness measured a
+    # 1.8% false-accept class with ~1.3 m error from perceptual
+    # aliasing that norm/inlier gates cannot see, while real drift at
+    # this scale is centimeters. Leave off when expected odometry drift
+    # between revisits approaches the gate.
+    "loop_closure_max_drift": "0",
     # multi-chip: 0 (default) = single device, no mesh; N>1 = build a
     # (dp, sp) mesh over the first N jax devices (parallel/mesh.py) and
     # run the deployed application sharded — loop-closure/recovery

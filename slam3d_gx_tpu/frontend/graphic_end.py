@@ -121,6 +121,8 @@ class GraphicEnd:
         # single largest per-keyframe wall cost in streaming mode)
         self.lc_drain_threshold = 24
         self._check_cache = {}  # (k1,k2) -> (passed, T) pair verdicts
+        self.lc_max_drift = p.get_float("loop_closure_max_drift")
+        self._kf_pose = {}  # kf id -> running frontend pose at promotion
 
     # -- construction ------------------------------------------------------
     def _make_mesh(self, n: int):
@@ -177,6 +179,10 @@ class GraphicEnd:
 
     def _register_keyframe(self, kf: Keyframe):
         self.keyframes.append(kf)
+        # running-pose hint for the loop_closure_max_drift gate (the
+        # pose-graph vertex estimates are Identity pre-optimization —
+        # the reference quirk — so they can't serve as the prediction)
+        self._kf_pose[kf.id] = np.array(self.kf_pos, dtype=np.float64)
         if self.batch_registrar is not None:
             # device-resident feature store: candidate batches come from
             # ONE fixed-shape jitted gather instead of eager stacks whose
@@ -532,13 +538,15 @@ class GraphicEnd:
                     if (not ok) or norm > self.loop_closure_error \
                             or inl < self.loop_closure_inliers:
                         continue
+                    Z = se3.inverse(T)
+                    if not self._lc_within_drift(self.keyframes[ki], kf, Z):
+                        continue
                     if i >= self._LC_N_DET:  # ranked draw -> record
                         self.display_lc(self.keyframes[ki].frame_index,
                                         kf.frame_index, norm, inl)
                         kf.connect.append(ki)
                     self.opt.add_edge(self.keyframes[ki].id, kf.id,
-                                      se3.inverse(T), INFO_VISUAL,
-                                      robust=True)
+                                      Z, INFO_VISUAL, robust=True)
                 continue
             _, cand, records, kf, pending = ent
             results = []
@@ -550,13 +558,33 @@ class GraphicEnd:
                 if (not ok) or norm > self.loop_closure_error \
                         or inl < self.loop_closure_inliers:
                     continue
+                Z = se3.inverse(T)
+                if not self._lc_within_drift(self.keyframes[i], kf, Z):
+                    continue
                 if record:
                     self.display_lc(self.keyframes[i].frame_index,
                                     kf.frame_index, norm, inl)
                     kf.connect.append(i)
                 self.opt.add_edge(self.keyframes[i].id, kf.id,
-                                  se3.inverse(T), INFO_VISUAL, robust=True)
+                                  Z, INFO_VISUAL, robust=True)
         self._pending_lc = []
+
+    def _lc_within_drift(self, old_kf: Keyframe, new_kf: Keyframe,
+                         Z) -> bool:
+        """loop_closure_max_drift gate: compare the measured relative
+        translation Z (edge direction old->new) against the frontend's
+        running-pose prediction. Catches perceptually-aliased loops
+        (wrong-but-consistent registrations that pass the norm/inlier
+        gates); off by default for reference parity."""
+        if self.lc_max_drift <= 0:
+            return True
+        pa = self._kf_pose.get(old_kf.id)
+        pb = self._kf_pose.get(new_kf.id)
+        if pa is None or pb is None:
+            return True
+        expected = se3.inverse(pa) @ pb
+        dev = float(np.linalg.norm(expected[:3, 3] - Z[:3, 3]))
+        return dev <= self.lc_max_drift
 
     def _try_loop_edge(self, kf: Keyframe, record: bool) -> bool:
         res = self.multipnp(
@@ -569,6 +597,8 @@ class GraphicEnd:
         if norm > self.loop_closure_error or inl < self.loop_closure_inliers:
             return False
         T = se3.inverse(T)
+        if not self._lc_within_drift(kf, self.curr_kf, T):
+            return False
         if record:
             self.display_lc(kf.frame_index, self.curr_kf.frame_index, norm, inl)
         self.opt.add_edge(kf.id, self.curr_kf.id, T, INFO_VISUAL, robust=True)
