@@ -340,6 +340,8 @@ def orchestrate() -> int:
     gfft, gfft_stale = pick("step_gfft")
     sift, sift_stale = pick("step_sift")
     stream, stream_stale = pick("streaming")
+    # a stale streaming value must carry ITS chunk, not this run's env
+    stream_chunk, _ = pick("streaming", "chunk")
 
     out = {
         "metric": "frontend_fps_640x480",
@@ -348,7 +350,8 @@ def orchestrate() -> int:
         "vs_baseline": round((gfft or 0.0) / BASELINE_FPS, 3),
         "sift_fps": sift,
         "streaming_wall_fps": stream,
-        "streaming_chunk": int(chunk),
+        "streaming_chunk": stream_chunk if stream_chunk is not None
+        else int(chunk),
         "wedged": wedged,
         "fresh_phases": sorted(fresh),
         "stale_phases": sorted(

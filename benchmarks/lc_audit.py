@@ -139,13 +139,20 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) < 2:
         print("Usage: lc_audit.py <datadir> <n_frames> "
-              "[trajectory=multi_loop]", file=sys.stderr)
+              "[trajectory=multi_loop|orbit]", file=sys.stderr)
         return 2
     datadir, n_frames = argv[0], int(argv[1])
+    traj_name = argv[2] if len(argv) > 2 else "multi_loop"
 
     from slam3d_gx_tpu.testing import synthetic
 
-    gt = synthetic.multi_loop_trajectory(n_frames)
+    makers = {"multi_loop": synthetic.multi_loop_trajectory,
+              "orbit": synthetic.orbit_trajectory}
+    if traj_name not in makers:
+        print(f"unknown trajectory {traj_name!r} "
+              f"(options: {sorted(makers)})", file=sys.stderr)
+        return 2
+    gt = makers[traj_name](n_frames)
     out = audit(datadir, gt)
     print(json.dumps({"metric": "lc_audit", **out}))
     return 0

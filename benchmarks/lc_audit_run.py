@@ -45,15 +45,9 @@ def main(argv=None) -> int:
     modes = os.environ.get("LCA_MODES", "0,1").split(",")
     max_drift = os.environ.get("LCA_MAXDRIFT", "0")
 
-    plat = os.environ.get("LCA_PLATFORM", "").strip().lower()
-    if plat:
-        os.environ["SLAM3D_PLATFORM"] = plat
-    elif not os.environ.get("SLAM3D_PLATFORM"):
-        from slam3d_gx_tpu.utils.platform import probe
+    from slam3d_gx_tpu.utils.platform import ensure_backend_or_cpu
 
-        if not probe(timeout=60):
-            log("device probe failed/wedged -> cpu fallback")
-            os.environ["SLAM3D_PLATFORM"] = "cpu"
+    ensure_backend_or_cpu("LCA_PLATFORM", log=log)
 
     import slam3d_gx_tpu  # noqa: F401  (applies SLAM3D_PLATFORM)
     import jax

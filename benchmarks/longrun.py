@@ -166,8 +166,13 @@ def main(argv=None) -> int:
         return r.stdout
 
     ate = float(run_tool("evaluate_ate.py").strip())
-    rpe = float(run_tool("evaluate_rpe.py", "--fixed_delta",
-                         "--delta", "0.1").strip())
+    # parse the verbose RMSE line: non-verbose stdout is the TUM
+    # protocol's MEAN (matching the reference script), which must not
+    # be published under an _rmse_ key
+    rpe = float(next(
+        l for l in run_tool("evaluate_rpe.py", "--fixed_delta",
+                            "--delta", "0.1", "--verbose").splitlines()
+        if l.startswith("translational_error.rmse")).split()[1])
 
     t_fuse = None
     if os.environ.get("LONG_FUSE", "1") == "1":

@@ -36,16 +36,10 @@ def main(argv=None) -> int:
     sizes = [int(a) for a in argv] or [2048, 5120, 10000]
     n_iters = int(os.environ.get("PGS_ITERS", "15"))
 
-    plat = os.environ.get("PGS_PLATFORM", "").strip().lower()
-    if plat:
-        os.environ["SLAM3D_PLATFORM"] = plat
-    elif not os.environ.get("SLAM3D_PLATFORM"):
-        # default backend may be a wedged remote relay: probe first
-        from slam3d_gx_tpu.utils.platform import probe
+    # default backend may be a wedged remote relay: probe first
+    from slam3d_gx_tpu.utils.platform import ensure_backend_or_cpu
 
-        if not probe(timeout=60):
-            log("device probe failed/wedged -> cpu fallback")
-            os.environ["SLAM3D_PLATFORM"] = "cpu"
+    ensure_backend_or_cpu("PGS_PLATFORM", log=log)
 
     import slam3d_gx_tpu  # applies SLAM3D_PLATFORM  # noqa: F401
     import jax

@@ -131,6 +131,12 @@ class GraphicEnd:
         (no mesh, no code fork); -1 = all visible devices."""
         if n == 0 or (n == -1 and len(jax.devices()) == 1):
             return None
+        if n > len(jax.devices()):
+            # make_mesh would silently truncate to the available
+            # devices — surface the misconfiguration instead
+            raise ValueError(
+                f"mesh_devices={n} but only {len(jax.devices())} jax "
+                f"device(s) are visible")
         from ..parallel import mesh as mesh_mod
 
         return mesh_mod.make_mesh(None if n == -1 else n)
@@ -179,10 +185,6 @@ class GraphicEnd:
 
     def _register_keyframe(self, kf: Keyframe):
         self.keyframes.append(kf)
-        # running-pose hint for the loop_closure_max_drift gate (the
-        # pose-graph vertex estimates are Identity pre-optimization —
-        # the reference quirk — so they can't serve as the prediction)
-        self._kf_pose[kf.id] = np.array(self.kf_pos, dtype=np.float64)
         if self.batch_registrar is not None:
             # device-resident feature store: candidate batches come from
             # ONE fixed-shape jitted gather instead of eager stacks whose
@@ -390,6 +392,7 @@ class GraphicEnd:
         feats = self._extract_present()
         self.curr_kf = Keyframe(id=0, frame_index=self.index, features=feats)
         self._register_keyframe(self.curr_kf)
+        self._kf_pose[0] = np.eye(4)  # drift-gate dead-reckoning anchor
         est = self.odo_this if self.use_odometry else self.robot
         self.opt.add_vertex(0, est, fixed=True)
         self.last = feats
@@ -474,6 +477,7 @@ class GraphicEnd:
         est = self.odo_this if self.use_odometry else np.eye(4)
         self.opt.add_vertex(new_id, est)
         self.opt.add_edge(new_id - 1, new_id, se3.inverse(rr_T), INFO_VISUAL)
+        self._chain_pose_hint(new_id, se3.inverse(rr_T))
         # then promote present too
         r_T = np.asarray(r.T, dtype=np.float64)
         self.generate_keyframe(se3.inverse(r_T), present)
@@ -488,6 +492,7 @@ class GraphicEnd:
         est = self.odo_this if self.use_odometry else np.eye(4)
         self.opt.add_vertex(new_id, est)
         self.opt.add_edge(new_id - 1, new_id, T, INFO_VISUAL)
+        self._chain_pose_hint(new_id, T)
         if self.use_odometry:
             To = se3.inverse(self.odo_last) @ self.odo_this
             info = np.eye(6) / (self.error_odometry**2)
@@ -569,6 +574,24 @@ class GraphicEnd:
                                   Z, INFO_VISUAL, robust=True)
         self._pending_lc = []
 
+    def _chain_pose_hint(self, new_id: int, Z) -> None:
+        """Dead-reckoned world-pose hint for the drift gate:
+        hint_new = hint_prev @ Z where Z is the sequential edge
+        measurement (new-1 -> new). A missing predecessor hint
+        propagates the broken chain (gate stays permissive)."""
+        prev = self._kf_pose.get(new_id - 1)
+        self._kf_pose[new_id] = (
+            None if prev is None else prev @ np.asarray(Z, np.float64))
+
+    def _reanchor_pose_hint(self, new_id: int, anchor_id: int, Z) -> None:
+        """Re-anchor a broken hint chain from an accepted loop/recovery
+        edge anchor -> new (first accepted edge wins)."""
+        if self._kf_pose.get(new_id) is not None:
+            return
+        pa = self._kf_pose.get(anchor_id)
+        if pa is not None:
+            self._kf_pose[new_id] = pa @ np.asarray(Z, np.float64)
+
     def _lc_within_drift(self, old_kf: Keyframe, new_kf: Keyframe,
                          Z) -> bool:
         """loop_closure_max_drift gate: compare the measured relative
@@ -581,7 +604,15 @@ class GraphicEnd:
         pa = self._kf_pose.get(old_kf.id)
         pb = self._kf_pose.get(new_kf.id)
         if pa is None or pb is None:
+            # chain broken (e.g. past a lostRecovery) -> permissive
             return True
+        # hints are dead-reckoned world poses (hint_new = hint_prev @
+        # Z_edge, maintained at every promotion site), under which the
+        # sequential measurements telescope and the loop prediction is
+        # exactly the right-composed relative. NB the frontend's
+        # kf_pos/robot chain (the reference's quirky `_robot = T *
+        # _kf_pos` left accumulation, src/GraphicEnd.cpp:245) does NOT
+        # telescope and cannot serve as the prediction.
         expected = se3.inverse(pa) @ pb
         dev = float(np.linalg.norm(expected[:3, 3] - Z[:3, 3]))
         return dev <= self.lc_max_drift
@@ -675,12 +706,16 @@ class GraphicEnd:
         self.curr_kf = Keyframe(id=new_id, frame_index=self.index, features=present)
         self._log("lost.txt", f"{new_id} {self.index}\n")
         self._register_keyframe(self.curr_kf)
+        # pose unknown after a blackout: break the drift-gate hint
+        # chain (gate permissive) until an accepted edge re-anchors it
+        self._kf_pose[new_id] = None
         est = self.odo_this if self.use_odometry else np.eye(4)
         self.opt.add_vertex(new_id, est)  # unconstrained (src/GraphicEnd.cpp:792)
         if self.use_odometry:
             To = se3.inverse(self.odo_last) @ self.odo_this
             info = np.eye(6) / (self.error_odometry**2)
             self.opt.add_edge(new_id - 1, new_id, To, info)
+            self._chain_pose_hint(new_id, To)  # odometry re-anchors
             self.odo_last = self.odo_this
             self.lost = 0
             return
@@ -697,9 +732,11 @@ class GraphicEnd:
                 if not ok or inl < self.loop_closure_inliers \
                         or norm > self.loop_closure_error:
                     continue
+                Z = se3.inverse(T)
                 self.opt.add_edge(self.keyframes[i].id, new_id,
-                                  se3.inverse(T), INFO_VISUAL, robust=True)
+                                  Z, INFO_VISUAL, robust=True)
                 self.keyframes[-1].connect.append(i)
+                self._reanchor_pose_hint(new_id, self.keyframes[i].id, Z)
             self.lost = 0
             return
         for i in range(len(self.keyframes) - 1):
@@ -710,10 +747,12 @@ class GraphicEnd:
             T, norm, inl, ok = result_to_host(res)
             if not ok or inl < self.loop_closure_inliers or norm > self.loop_closure_error:
                 continue
+            Z = se3.inverse(T)
             self.opt.add_edge(
-                self.keyframes[i].id, new_id, se3.inverse(T), INFO_VISUAL, robust=True
+                self.keyframes[i].id, new_id, Z, INFO_VISUAL, robust=True
             )
             self.keyframes[-1].connect.append(i)
+            self._reanchor_pose_hint(new_id, self.keyframes[i].id, Z)
         self.lost = 0
 
     def display_lc(self, frame1: int, frame2: int, norm: float, inliers: int):

@@ -407,6 +407,7 @@ class _StreamingMixin:
                     self.opt.add_vertex(new_id, est)
                     self.opt.add_edge(new_id - 1, new_id,
                                       se3.inverse(rr_T), INFO_VISUAL)
+                    self._chain_pose_hint(new_id, se3.inverse(rr_T))
                     feat_j = _take(feats, jnp.int32(j))
                     self.generate_keyframe(se3.inverse(r_T), feat_j)
                     self.last = feat_j

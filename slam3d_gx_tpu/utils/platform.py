@@ -49,6 +49,30 @@ def select_platform(jax=None) -> str | None:
     return plat
 
 
+def ensure_backend_or_cpu(env_key: str | None = None,
+                          timeout: float = 60.0, log=None) -> str | None:
+    """Backend policy for benchmark harnesses: an explicit override
+    (env_key, then SLAM3D_PLATFORM) wins; otherwise probe the default
+    backend in a bounded subprocess and force cpu when it is
+    wedged/unreachable. Returns the platform forced, or None when the
+    jax default stays in effect. Call BEFORE importing slam3d_gx_tpu."""
+    plat = (os.environ.get(env_key, "") if env_key else "").strip().lower()
+    if plat:
+        os.environ["SLAM3D_PLATFORM"] = plat
+        # apply directly: importing this module already imported the
+        # slam3d_gx_tpu package, so its import-time override (which ran
+        # before the env var was set) will not fire again
+        return select_platform()
+    if os.environ.get("SLAM3D_PLATFORM"):
+        return select_platform()
+    if not probe(timeout=timeout):
+        if log is not None:
+            log("device probe failed/wedged -> cpu fallback")
+        os.environ["SLAM3D_PLATFORM"] = "cpu"
+        return select_platform()
+    return None
+
+
 def probe(timeout: float = 60.0, platform: str | None = None) -> bool:
     """True iff a subprocess can compile+execute+read back an 8x8 matmul
     on the target backend within `timeout` seconds. A wedged relay
