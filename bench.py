@@ -207,6 +207,7 @@ def run_step_phase() -> int:
         "model_gflops_per_frame": round(gflops, 3),
         "mfu": round(mfu, 6),
         "first_step_s": round(first_step_s, 1),
+        "platform": jax.default_backend(),
     }))
     return 0
 
@@ -368,11 +369,25 @@ def orchestrate() -> int:
             if k in fresh["streaming"]:
                 out[f"streaming_{k}"] = fresh["streaming"][k]
 
-    # persist fresh numbers for future wedged rounds
-    if fresh:
+    # persist fresh numbers for future wedged rounds — but ONLY
+    # protocol-default accelerator measurements: a cpu fallback or a
+    # small-shape env-override run must never clobber the cached TPU
+    # headline the stale path exists to preserve
+    protocol_default = not any(os.environ.get(k) for k in (
+        "BENCH_FRAMES", "BENCH_MAXKP", "BENCH_HYPOTHESES",
+        "BENCH_STREAM_FRAMES", "BENCH_CHUNK", "BENCH_MODE"))
+    persistable = {
+        name: res for name, res in fresh.items()
+        if res.get("platform", "unknown") not in ("cpu",)
+    } if protocol_default else {}
+    if fresh and not persistable:
+        log("fresh results NOT persisted to last-good "
+            f"(protocol_default={protocol_default}, platforms="
+            f"{[r.get('platform') for r in fresh.values()]})")
+    if persistable:
         merged = dict(last_good)
         stamp = time.strftime("%Y-%m-%d %H:%M:%S")
-        for name, res in fresh.items():
+        for name, res in persistable.items():
             merged[name] = dict(res, measured_at=stamp)
         try:
             with open(LAST_GOOD_PATH, "w") as f:

@@ -198,6 +198,7 @@ def main(argv=None) -> int:
         "loop_closures": n_lc,
         "frames_timed": done2,
         "scored": scored,
+        "platform": jax.default_backend(),
     }))
     return 0
 
