@@ -110,6 +110,30 @@ def test_mesh_loop_closures_equivalent(mesh_vs_single):
     assert abs(n1 - n8) <= max(2, n1 // 3), (n1, n8)
 
 
+def test_mesh_streaming_e2e(dataset, tmp_path_factory):
+    """run_SLAM_streaming's frontend under the mesh: the chunked
+    tracker is single-device by design, but its loop-closure rounds
+    drain through the dp-sharded verifier."""
+    from slam3d_gx_tpu.frontend.streaming import StreamingGraphicEnd2
+
+    root, traj = dataset
+    d = str(tmp_path_factory.mktemp("mesh_stream"))
+    ge = StreamingGraphicEnd2(
+        make_params(root, mesh_devices=8), data_dir=d, chunk=4)
+    slam = SLAMEnd()
+    ge.init(slam)
+    slam.init(ge)
+    done = ge.run_streaming(N_FRAMES - 1)
+    ge.drain_pending_loop_closures()
+    ge.save_final_result()
+    assert done == N_FRAMES - 1
+    assert ge.mesh is not None and ge.batch_registrar.dp > 1
+    assert len(ge.keyframes) >= 5
+    est = [ge.opt.vertex_estimate(kf.id) for kf in ge.keyframes]
+    gt = [traj[kf.frame_index - 1] for kf in ge.keyframes]
+    assert synthetic.ate_rmse(gt, est) < 0.05
+
+
 def test_mesh_scored_lcdb_in_app(dataset, tmp_path_factory):
     """loop_closure_scored=1 under a mesh: the sp-sharded keyframe
     database drives candidate selection inside the deployed loop."""
