@@ -52,15 +52,22 @@ def _edge_errors(Z, Tg1, Tg2):
 
 
 def audit(datadir: str, gt_poses, close_t: float = 0.3,
-          close_r: float = 0.5, min_gap: int = 30) -> dict:
+          close_r: float = 0.5, min_gap: int = 30,
+          graph: str = "final.g2o") -> dict:
     """gt_poses: frame_index (1-based) -> 4x4 ground-truth pose list
-    (index 0 = frame 1). Returns the audit dict."""
+    (index 0 = frame 1). Returns the audit dict.
+
+    graph: "final.g2o" audits the runtime-accepted edges (loopClosure's
+    gates); "final_after.g2o" additionally audits the findMoreLoops
+    walk edges added at finalize (src/GraphicEnd.cpp:864-947) — edge
+    measurements are untouched by the optimize that precedes saving, so
+    the same scoring applies."""
     from slam3d_gx_tpu.geometry import se3
     from slam3d_gx_tpu.io import g2o_io, tum
 
     kf_rows = tum.read_keyframes(os.path.join(datadir, "keyframe.txt"))
     frame_of = {vid: fidx for vid, fidx in kf_rows}
-    g = g2o_io.load_g2o(os.path.join(datadir, "final.g2o"))
+    g = g2o_io.load_g2o(os.path.join(datadir, graph))
 
     def gt_of(vid):
         return gt_poses[frame_of[vid] - 1]

@@ -112,7 +112,12 @@ def main(argv=None) -> int:
         wall = time.time() - t0
         log(f"scored={scored}: {done} frames, {len(ge.keyframes)} "
             f"keyframes, {wall:.0f}s wall")
-        a = lc_audit.audit(datadir, traj)
+        a = lc_audit.audit(
+            datadir, traj,
+            graph=("final_after.g2o"
+                   if os.environ.get("LCA_GRAPH") == "after"
+                   and os.environ.get("LCA_FINALIZE", "0") == "1"
+                   else "final.g2o"))
         a["wall_s"] = round(wall, 1)
         a["frames"] = done
         results[f"scored_{scored}"] = a

@@ -595,10 +595,18 @@ class GraphicEnd:
     def _lc_within_drift(self, old_kf: Keyframe, new_kf: Keyframe,
                          Z) -> bool:
         """loop_closure_max_drift gate: compare the measured relative
-        translation Z (edge direction old->new) against the frontend's
-        running-pose prediction. Catches perceptually-aliased loops
+        translation Z (edge direction old->new) against the dead-
+        reckoned pose prediction. Catches perceptually-aliased loops
         (wrong-but-consistent registrations that pass the norm/inlier
-        gates); off by default for reference parity."""
+        gates); off by default for reference parity.
+
+        Known limitation: a grossly mis-tracked SEQUENTIAL promotion
+        (tracking-time aliasing, which the reference cannot detect
+        either) poisons the hint chain downstream, and the gate then
+        mis-predicts loops straddling the bad link. The Cauchy-robust
+        optimize still absorbs such runs; the gate's scope is the
+        loop-closure aliasing class, which the lc_audit harness shows
+        it removes completely (runtime AND findMoreLoops edges)."""
         if self.lc_max_drift <= 0:
             return True
         pa = self._kf_pose.get(old_kf.id)
@@ -770,9 +778,19 @@ class GraphicEnd:
         weight-accumulation semantics without recomputing)."""
         self._check_cache[(k1, k2)] = (passed, T)
         if passed:
+            Z = se3.inverse(T)
+            if not self._lc_within_drift(
+                    self.keyframes[k1], self.keyframes[k2], Z):
+                # the walk path must honor the same consistency gate as
+                # loopClosure or findMoreLoops re-admits the aliased
+                # registrations the gate filtered (measured: 1 bad edge
+                # of 790 post-finalize with the gate only at runtime);
+                # a gate rejection also stops the walk, like a failed
+                # check
+                return False
             self.opt.add_edge(
                 self.keyframes[k1].id, self.keyframes[k2].id,
-                se3.inverse(T), INFO_VISUAL, robust=True)
+                Z, INFO_VISUAL, robust=True)
             self._more_loops += 1
         return passed
 
