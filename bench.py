@@ -314,6 +314,37 @@ def orchestrate() -> int:
                         stream_frames, chunk, "planes"],
                        stream_timeout, {"WALL_DETECTOR": "GFTT"}))
 
+    step_names = [n for n, *_ in phases if n.startswith("step_")]
+    if len(step_names) >= 2 and ensure_alive() and remaining() > 300:
+        # parallel warm: the remote service compiles independent
+        # programs concurrently (measured: wall ~= slowest compile,
+        # not the sum — same trick as streaming_wall's
+        # warm_compiles_parallel), so compiling the GFTT and SIFT step
+        # programs side by side front-loads the big cost once; the
+        # timed phases then hit the server-side compile cache
+        warm_env = dict(os.environ)
+        warm_env["PYTHONPATH"] = _REPO + os.pathsep + warm_env.get(
+            "PYTHONPATH", "")
+        warm_env["BENCH_FRAMES"] = "1"
+        procs = []
+        for det in ("GFTT", "SIFT"):
+            e = dict(warm_env, BENCH_DETECTOR=det)
+            procs.append((det, subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--phase", "step"],
+                env=e, stdout=subprocess.DEVNULL, stderr=sys.stderr)))
+        t0 = time.time()
+        deadline_warm = time.time() + min(
+            float(os.environ.get("BENCH_WARM_TIMEOUT_S", "420")),
+            max(60, remaining() - 240))
+        for det, p in procs:
+            try:
+                p.wait(timeout=max(1, deadline_warm - time.time()))
+            except subprocess.TimeoutExpired:
+                p.kill()
+                log(f"warm {det}: killed on timeout")
+        log(f"parallel step warm: {time.time() - t0:.0f}s")
+
     for name, cmd, tmo, env in phases:
         if remaining() < 90:
             log(f"phase {name}: skipped (budget exhausted)")
