@@ -1,0 +1,160 @@
+"""Unit tests for bench.py's wedge-proof orchestration.
+
+BENCH_r03 was lost to a wedged device relay (rc=124, no output); the
+orchestrator's contract is: exactly one parseable JSON line on stdout,
+always — fresh numbers when phases ran, last-good values flagged stale
+when not, wedged:true when the relay never answered. These tests drive
+orchestrate() with the probe and phase runner monkeypatched.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def bench(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+    for k in ("BENCH_FRAMES", "BENCH_MAXKP", "BENCH_HYPOTHESES",
+              "BENCH_STREAM_FRAMES", "BENCH_CHUNK", "BENCH_MODE",
+              "BENCH_SKIP_PHASES"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("BENCH_BUDGET_S", "600")
+    return mod
+
+
+def _seed_last_good(mod, **extra):
+    rec = {
+        "step_gfft": {"value": 238.374, "platform": "tpu"},
+        "step_sift": {"value": 140.0, "platform": "tpu"},
+        "streaming": {"value": 29.9, "chunk": 32, "platform": "tpu"},
+    }
+    rec.update(extra)
+    with open(mod.LAST_GOOD_PATH, "w") as f:
+        json.dump(rec, f)
+
+
+class _Clock:
+    """Fake time module: sleep advances the clock (a no-op sleep plus
+    the real clock makes the re-probe loop spin forever)."""
+
+    def __init__(self, t0=1000.0):
+        self.t = t0
+
+    def time(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+    def strftime(self, fmt):
+        return "test-time"
+
+
+def _line(capsys):
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, out
+    return json.loads(out[-1])
+
+
+def test_wedged_emits_stale_line(bench, capsys, monkeypatch):
+    _seed_last_good(bench)
+    monkeypatch.setattr(bench, "_probe", lambda *a, **k: False)
+    monkeypatch.setattr(bench, "time", _Clock())
+    rc = bench.orchestrate()
+    assert rc == 0
+    out = _line(capsys)
+    assert out["wedged"] is True
+    assert out["value"] == 238.374
+    assert out["streaming_wall_fps"] == 29.9
+    assert out["streaming_chunk"] == 32  # the stale record's chunk
+    assert sorted(out["stale_phases"]) == [
+        "step_gfft", "step_sift", "streaming"]
+    assert out["fresh_phases"] == []
+
+
+def test_fresh_tpu_results_persist(bench, capsys, monkeypatch):
+    monkeypatch.setattr(bench, "_probe", lambda *a, **k: True)
+
+    def fake_phase(cmd, timeout, extra_env=None):
+        det = (extra_env or {}).get("BENCH_DETECTOR", "")
+        if "streaming_wall" in " ".join(cmd):
+            return {"value": 31.0, "chunk": 32, "keyframes": 60,
+                    "loop_closures": 150, "platform": "tpu"}
+        return {"value": 240.0 if det == "GFTT" else 139.0,
+                "platform": "tpu", "mfu": 1e-4, "first_step_s": 40.0}
+
+    monkeypatch.setattr(bench, "_run_phase", fake_phase)
+    monkeypatch.setattr(bench.subprocess, "Popen",
+                        _NoopPopen)  # parallel warm stage
+    rc = bench.orchestrate()
+    assert rc == 0
+    out = _line(capsys)
+    assert out["wedged"] is False
+    assert out["value"] == 240.0 and out["sift_fps"] == 139.0
+    assert out["streaming_wall_fps"] == 31.0
+    assert out["stale_phases"] == []
+    saved = json.load(open(bench.LAST_GOOD_PATH))
+    assert saved["step_gfft"]["value"] == 240.0
+    assert "measured_at" in saved["step_gfft"]
+
+
+def test_cpu_results_reported_but_not_persisted(bench, capsys, monkeypatch):
+    _seed_last_good(bench)
+    monkeypatch.setattr(bench, "_probe", lambda *a, **k: True)
+    monkeypatch.setattr(
+        bench, "_run_phase",
+        lambda cmd, timeout, extra_env=None: {"value": 2.0,
+                                              "platform": "cpu"})
+    monkeypatch.setattr(bench.subprocess, "Popen", _NoopPopen)
+    rc = bench.orchestrate()
+    assert rc == 0
+    out = _line(capsys)
+    assert out["value"] == 2.0  # reported fresh
+    saved = json.load(open(bench.LAST_GOOD_PATH))
+    assert saved["step_gfft"]["value"] == 238.374  # cache untouched
+
+
+def test_partial_wedge_mixes_fresh_and_stale(bench, capsys, monkeypatch):
+    _seed_last_good(bench)
+    calls = {"n": 0}
+
+    def flaky_probe(*a, **k):
+        calls["n"] += 1
+        return calls["n"] <= 2  # healthy for warm+first phase, then wedged
+
+    monkeypatch.setattr(bench, "_probe", flaky_probe)
+    monkeypatch.setattr(bench, "time", _Clock())
+    monkeypatch.setattr(
+        bench, "_run_phase",
+        lambda cmd, timeout, extra_env=None: {"value": 241.0,
+                                              "platform": "tpu"})
+    monkeypatch.setattr(bench.subprocess, "Popen", _NoopPopen)
+    rc = bench.orchestrate()
+    assert rc == 0
+    out = _line(capsys)
+    assert out["value"] == 241.0
+    assert "step_gfft" in out["fresh_phases"]
+    assert "streaming" in out["stale_phases"]
+    assert out["streaming_wall_fps"] == 29.9
+
+
+class _NoopPopen:
+    def __init__(self, *a, **k):
+        pass
+
+    def wait(self, timeout=None):
+        return 0
+
+    def kill(self):
+        pass
