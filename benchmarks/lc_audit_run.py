@@ -65,12 +65,16 @@ def main(argv=None) -> int:
     s = w / 640.0
     intr = CameraIntrinsics(fx=517.0 * s, fy=517.0 * s, cx=318.6 * s,
                             cy=255.3 * s, factor=5000.0)
-    root = f"/tmp/slam3d_lcaudit/ds{n_frames}_{h}x{w}"
+    artifacts = os.environ.get("LCA_ARTIFACTS") or None  # e.g. "kinect"
+    root = (f"/tmp/slam3d_lcaudit/ds{n_frames}_{h}x{w}"
+            + (f"_{artifacts}" if artifacts else ""))
     traj = synthetic.multi_loop_trajectory(n_frames)
     if not os.path.exists(os.path.join(root, "associate.txt")):
-        log(f"generating {n_frames}-frame {w}x{h} dataset at {root}...")
+        log(f"generating {n_frames}-frame {w}x{h} dataset at {root}"
+            f" (artifacts={artifacts})...")
         synthetic.write_dataset(root, synthetic.RoomScene(seed=3), traj,
-                                intr, height=h, width=w, write_pcd=True)
+                                intr, height=h, width=w, write_pcd=True,
+                                artifacts=artifacts)
 
     results = {}
     for scored in modes:
