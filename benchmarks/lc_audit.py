@@ -130,6 +130,7 @@ def audit(datadir: str, gt_poses, close_t: float = 0.3,
     n_lc_rows = (sum(1 for r in open(lc_path) if r.strip())
                  if os.path.exists(lc_path) else 0)
     return dict(
+        graph=graph,
         keyframes=len(kf_rows),
         seq_edges=len(seq), loop_edges=len(loops), lc_rows=n_lc_rows,
         seq_trans=stats(seq_t), seq_rot=stats(seq_r),
@@ -146,10 +147,12 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) < 2:
         print("Usage: lc_audit.py <datadir> <n_frames> "
-              "[trajectory=multi_loop|orbit]", file=sys.stderr)
+              "[trajectory=multi_loop|orbit] [graph=final.g2o]",
+              file=sys.stderr)
         return 2
     datadir, n_frames = argv[0], int(argv[1])
     traj_name = argv[2] if len(argv) > 2 else "multi_loop"
+    graph = argv[3] if len(argv) > 3 else "final.g2o"
 
     from slam3d_gx_tpu.testing import synthetic
 
@@ -160,7 +163,7 @@ def main(argv=None) -> int:
               f"(options: {sorted(makers)})", file=sys.stderr)
         return 2
     gt = makers[traj_name](n_frames)
-    out = audit(datadir, gt)
+    out = audit(datadir, gt, graph=graph)
     print(json.dumps({"metric": "lc_audit", **out}))
     return 0
 

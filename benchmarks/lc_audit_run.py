@@ -116,11 +116,15 @@ def main(argv=None) -> int:
         wall = time.time() - t0
         log(f"scored={scored}: {done} frames, {len(ge.keyframes)} "
             f"keyframes, {wall:.0f}s wall")
+        want_after = os.environ.get("LCA_GRAPH") == "after"
+        finalized = os.environ.get("LCA_FINALIZE", "0") == "1"
+        if want_after and not finalized:
+            log("LCA_GRAPH=after requires LCA_FINALIZE=1 "
+                "(final_after.g2o is only written at finalize); "
+                "auditing final.g2o instead")
         a = lc_audit.audit(
             datadir, traj,
-            graph=("final_after.g2o"
-                   if os.environ.get("LCA_GRAPH") == "after"
-                   and os.environ.get("LCA_FINALIZE", "0") == "1"
+            graph=("final_after.g2o" if want_after and finalized
                    else "final.g2o"))
         a["wall_s"] = round(wall, 1)
         a["frames"] = done

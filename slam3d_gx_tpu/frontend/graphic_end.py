@@ -552,6 +552,10 @@ class GraphicEnd:
                         kf.connect.append(ki)
                     self.opt.add_edge(self.keyframes[ki].id, kf.id,
                                       Z, INFO_VISUAL, robust=True)
+                    # accepted loop edges re-anchor a hint chain broken
+                    # by an unrecovered blackout (else the gate stays
+                    # fail-open for the rest of the run)
+                    self._reanchor_pose_hint(kf.id, self.keyframes[ki].id, Z)
                 continue
             _, cand, records, kf, pending = ent
             results = []
@@ -572,6 +576,7 @@ class GraphicEnd:
                     kf.connect.append(i)
                 self.opt.add_edge(self.keyframes[i].id, kf.id,
                                   Z, INFO_VISUAL, robust=True)
+                self._reanchor_pose_hint(kf.id, self.keyframes[i].id, Z)
         self._pending_lc = []
 
     def _chain_pose_hint(self, new_id: int, Z) -> None:
@@ -641,6 +646,7 @@ class GraphicEnd:
         if record:
             self.display_lc(kf.frame_index, self.curr_kf.frame_index, norm, inl)
         self.opt.add_edge(kf.id, self.curr_kf.id, T, INFO_VISUAL, robust=True)
+        self._reanchor_pose_hint(self.curr_kf.id, kf.id, T)
         return True
 
     def loop_closure(self):

@@ -95,8 +95,7 @@ def test_fresh_tpu_results_persist(bench, capsys, monkeypatch):
                 "platform": "tpu", "mfu": 1e-4, "first_step_s": 40.0}
 
     monkeypatch.setattr(bench, "_run_phase", fake_phase)
-    monkeypatch.setattr(bench.subprocess, "Popen",
-                        _NoopPopen)  # parallel warm stage
+    monkeypatch.setattr(bench, "_POPEN", _NoopPopen)  # warm-stage seam
     rc = bench.orchestrate()
     assert rc == 0
     out = _line(capsys)
@@ -116,7 +115,7 @@ def test_cpu_results_reported_but_not_persisted(bench, capsys, monkeypatch):
         bench, "_run_phase",
         lambda cmd, timeout, extra_env=None: {"value": 2.0,
                                               "platform": "cpu"})
-    monkeypatch.setattr(bench.subprocess, "Popen", _NoopPopen)
+    monkeypatch.setattr(bench, "_POPEN", _NoopPopen)
     rc = bench.orchestrate()
     assert rc == 0
     out = _line(capsys)
@@ -139,7 +138,7 @@ def test_partial_wedge_mixes_fresh_and_stale(bench, capsys, monkeypatch):
         bench, "_run_phase",
         lambda cmd, timeout, extra_env=None: {"value": 241.0,
                                               "platform": "tpu"})
-    monkeypatch.setattr(bench.subprocess, "Popen", _NoopPopen)
+    monkeypatch.setattr(bench, "_POPEN", _NoopPopen)
     rc = bench.orchestrate()
     assert rc == 0
     out = _line(capsys)
