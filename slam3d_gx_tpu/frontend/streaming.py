@@ -182,6 +182,10 @@ class _StreamingMixin:
 
     def _init_streaming(self, chunk: int):
         self.chunk = chunk
+        # chunks decoded+uploaded ahead of the device scan (2 keeps one
+        # chunk decoding while another uploads, hiding both behind the
+        # scan; each buffered 640x480 chunk is ~29 MB host + device)
+        self.chunk_prefetch = 2
         self._tracker = None
 
     def _setup_prefetch(self, want_pcd: bool, **kw):
@@ -240,6 +244,13 @@ class _StreamingMixin:
                     g, d, _ = pre
                     pre_hits[idx] = (np.asarray(g),
                                      np.asarray(d, np.uint16))
+        return self._load_frames_raw(indices, pre_hits)
+
+    def _load_frames_raw(self, indices, pre_hits=None):
+        """Decode a chunk's frames to stacked host arrays. Touches no
+        frontend state (unlike _load_frames' prefetch drain), so it is
+        safe to call from the background chunk loader thread."""
+        pre_hits = pre_hits or {}
 
         def load_one(idx):
             if idx in pre_hits:
@@ -264,52 +275,102 @@ class _StreamingMixin:
         depths = [d for _, d in pairs]
         return np.stack(grays), np.stack(depths)
 
+    def _load_frames_device(self, indices):
+        """Decode AND upload a chunk off the critical path. Measured on
+        the real chip (round 4): a 32-frame chunk costs ~370 ms of PNG
+        decode + ~400 ms of relay upload (29 MB of u8/u16 pixels) while
+        the device scan itself takes only ~253 ms — done inline (the
+        pre-round-4 _dispatch_chunk), host IO dominates the wall rate.
+        This runs in the chunk-loader thread so decode+upload of chunk
+        k+2 overlap chunk k+1's device scan and chunk k's bookkeeping."""
+        grays, depths = self._load_frames_raw(indices)
+        return jnp.asarray(grays), jnp.asarray(depths)
+
+    def _schedule_load(self, loader, start: int, budget: int):
+        """Submit the next full chunk's decode+upload to the loader
+        thread. Returns (indices, future) or None (partial chunk, file
+        gap, or exhausted frame budget — those fall to the tail path)."""
+        if budget < self.chunk:
+            return None
+        indices = []
+        for i in range(self.chunk):
+            idx = start + i
+            if not self._frame_files_exist(idx):
+                break
+            indices.append(idx)
+        if len(indices) < self.chunk:
+            return None
+        return indices, loader.submit(self._load_frames_device, indices)
+
     def run_streaming(self, n_frames: int) -> int:
         """Process up to n_frames (stops at missing files). Returns the
         number of frames actually processed.
 
-        Double-buffered: chunk k+1 is loaded and DISPATCHED (using chunk
-        k's device carry — no host sync needed) before chunk k's records
-        are read back and applied, so the device tracks k+1 while the
-        host does k's bookkeeping/IO. If applying chunk k diverges from
+        Three-stage pipeline: while chunk k's records are applied
+        host-side, chunk k+1 scans on device (dispatched with k's device
+        carry — no host sync needed) and chunk k+2 decodes + uploads in
+        a background loader thread (_load_frames_device; decode+upload
+        are ~3x the scan's device time through the relay, so keeping
+        them off the critical path is the difference between ~35 and
+        ~certainly-higher wall FPS). If applying chunk k diverges from
         the device scan (per-frame replay or lostRecovery), the
         speculative dispatch used a stale carry and is re-dispatched
-        from the corrected host state (failure-path only; results of
-        the stale dispatch are discarded unread)."""
+        from the corrected host state; the loaded frames and the
+        pending load stay valid (the frame SEQUENCE never changes, only
+        the tracking carry), so only the dispatch repeats."""
         self._ensure_tracker()
+        import collections
+        import concurrent.futures as cf
         done = 0
         inflight = None
         next_fetch = self.index
-        while True:
-            started = len(inflight["indices"]) if inflight else 0
-            # contiguous prefix only: a mid-sequence gap ends the run
-            # (the per-frame fallback would otherwise walk into the
-            # missing file), matching the 'stops at missing files'
-            # contract
-            indices = []
-            if n_frames - done - started >= self.chunk:
-                for i in range(self.chunk):
-                    idx = next_fetch + i
-                    if not self._frame_files_exist(idx):
-                        break
-                    indices.append(idx)
-            nxt = None
-            if len(indices) == self.chunk:
-                carry = inflight["carry"] if inflight else None
-                nxt = self._dispatch_chunk(indices, carry=carry)
-                next_fetch = indices[-1] + 1
-            if inflight is not None:
-                applied, clean = self._process_chunk(inflight)
-                done += applied
-                if not clean and nxt is not None:
-                    # host state diverged from the device scan: redo the
-                    # speculative dispatch with the corrected carry
-                    # (frames stay cached; only the dispatch repeats)
+        depth = max(1, self.chunk_prefetch)
+        pendq = collections.deque()  # (indices, future[(g_dev, d_dev)])
+        with cf.ThreadPoolExecutor(max_workers=depth) as loader:
+            while True:
+                committed = done + (
+                    len(inflight["indices"]) if inflight else 0)
+                committed += sum(len(i) for i, _ in pendq)
+
+                def refill():
+                    nonlocal next_fetch, committed
+                    # contiguous prefix only: a mid-sequence gap ends
+                    # the run (the per-frame fallback would otherwise
+                    # walk into the missing file), matching the 'stops
+                    # at missing files' contract
+                    while len(pendq) < depth:
+                        p = self._schedule_load(
+                            loader, next_fetch, n_frames - committed)
+                        if p is None:
+                            return
+                        pendq.append(p)
+                        next_fetch = p[0][-1] + 1
+                        committed += len(p[0])
+
+                refill()
+                nxt = None
+                if pendq:
+                    indices, fut = pendq.popleft()
+                    carry = inflight["carry"] if inflight else None
                     nxt = self._dispatch_chunk(
-                        nxt["indices"], frames=nxt["frames"])
-            inflight = nxt
-            if inflight is None:
-                break
+                        indices, carry=carry, frames=fut.result())
+                    # refill the freed load slot NOW so later chunks'
+                    # decode+upload overlap the blocking bookkeeping
+                    # below
+                    refill()
+                if inflight is not None:
+                    applied, clean = self._process_chunk(inflight)
+                    done += applied
+                    if not clean and nxt is not None:
+                        # host state diverged from the device scan: redo
+                        # the speculative dispatch with the corrected
+                        # carry (frames stay resident; only the dispatch
+                        # repeats)
+                        nxt = self._dispatch_chunk(
+                            nxt["indices"], frames=nxt["frames"])
+                inflight = nxt
+                if inflight is None:
+                    break
         # tail: fewer than chunk frames remain (or a gap broke the
         # prefix). Pad the remainder to a full chunk by repeating the
         # last frame so the fixed-shape tracker serves the tail too —
