@@ -9,11 +9,19 @@ Reports steady-state wall FPS with the compile-bearing first chunks
 excluded (the persistent cache makes those one-time), plus total keyframes
 and loop-closure rows so throughput can't be bought by dropping work.
 
+Variance defense (round-4 lesson: the shared relay's load can slump a
+single short window by 3x — BENCH_r04 recorded 11.01 FPS for code that
+measured 34.6 the same day): the steady state is timed as MULTIPLE
+independent windows and the reported `value` is the MEDIAN window FPS,
+with the per-window rates and their spread carried in the JSON line so
+one stalled window can no longer destroy the round's record.
+
 Usage: streaming_wall.py [n_frames] [chunk] [planes|imageonly]
 Env: WALL_DS (dataset root; generated at 640x480 if missing),
      WALL_DETECTOR/WALL_DESCRIPTOR (GFTT/SIFT), WALL_MAXKP (512),
      WALL_HYP (256), WALL_MPC (max_pos_change, 0.1), WALL_SCORED (0),
-     WALL_WARM_FRAMES (frames excluded as warmup, 2*chunk).
+     WALL_WARM_FRAMES (frames excluded as warmup, 2*chunk),
+     WALL_WINDOWS (steady-state windows, 3; 1 restores single-window).
 """
 
 from __future__ import annotations
@@ -22,6 +30,8 @@ import json
 import os
 import sys
 import time
+
+import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
@@ -175,17 +185,38 @@ def main(argv=None) -> int:
     log(f"warmup {done} frames {time.time() - t0:.1f}s "
         f"(tracker + LC round compiles)")
 
-    t0 = time.time()
-    done2 = ge.run_streaming(n_frames - 1 - done)
-    dt = time.time() - t0
-    fps = done2 / dt
+    # --- steady state: W independent windows, median wall FPS ------------
+    steady = n_frames - 1 - done
+    n_windows = max(1, int(os.environ.get("WALL_WINDOWS", "3")))
+    base = steady // n_windows
+    if base < chunk:  # too few frames to split: single window
+        n_windows = 1
+        base = steady
+    sizes = [base] * (n_windows - 1) + [steady - base * (n_windows - 1)]
+
+    window_fps, done2, total_dt = [], 0, 0.0
+    for wi, sz in enumerate(sizes):
+        t0 = time.time()
+        applied = ge.run_streaming(sz)
+        dt = time.time() - t0
+        done2 += applied
+        total_dt += dt
+        if applied == 0:
+            break
+        window_fps.append(round(applied / dt, 3))
+        log(f"window {wi}: {applied} frames in {dt:.2f}s "
+            f"-> {window_fps[-1]:.2f} FPS")
+    fps = float(np.median(window_fps)) if window_fps else 0.0
+    spread = (round((max(window_fps) - min(window_fps)) / fps, 3)
+              if fps and len(window_fps) > 1 else 0.0)
     kf = len(ge.keyframes)
     ge.drain_pending_loop_closures()
     lc_path = os.path.join(datadir, "lc.txt")
     n_lc = (sum(1 for r in open(lc_path) if r.strip())
             if os.path.exists(lc_path) else 0)
-    log(f"steady state: {done2} frames in {dt:.2f}s -> {fps:.2f} FPS wall "
-        f"({kf} keyframes, {n_lc} lc rows)")
+    log(f"steady state: {done2} frames in {total_dt:.2f}s over "
+        f"{len(window_fps)} windows -> median {fps:.2f} FPS wall "
+        f"(windows {window_fps}, {kf} keyframes, {n_lc} lc rows)")
     print(json.dumps({
         "metric": "streaming_wall_fps_640x480",
         "value": round(fps, 3),
@@ -197,6 +228,9 @@ def main(argv=None) -> int:
         "keyframes": kf,
         "loop_closures": n_lc,
         "frames_timed": done2,
+        "windows_fps": window_fps,
+        "window_spread": spread,
+        "overall_fps": round(done2 / total_dt, 3) if total_dt else 0.0,
         "scored": scored,
         "platform": jax.default_backend(),
     }))
