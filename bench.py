@@ -12,6 +12,12 @@ prints (the driver's only surviving evidence):
 3. streaming  — the deployed `run_SLAM_streaming` wall rate at chunk=32
    on a disk dataset (benchmarks/streaming_wall.py protocol): host PNG
    decode + upload + chunked on-device tracking + loop closure + logs.
+4. sweep      — the THROUGHPUT mode (benchmarks/sweep_throughput.py):
+   the reference's exp1_2 batch-registration protocol as large
+   fixed-shape device batches (batched extraction + chunked vmapped
+   multiPnP), attesting pairs/s + MFU where utilization is a design
+   target rather than a latency disclaimer (VERDICT r4 #2). Runs LAST:
+   if the budget is exhausted its cached best is served stale.
 
 Wedge-proofing (the round-3 failure: the remote relay can wedge so that
 any device sync hangs forever — BENCH_r03 was rc=124/parsed:null):
@@ -26,8 +32,8 @@ any device sync hangs forever — BENCH_r03 was rc=124/parsed:null):
 Env overrides: BENCH_FRAMES (timed steps/phase), BENCH_MAXKP,
 BENCH_HYPOTHESES, BENCH_BUDGET_S (total wall budget, default 1260),
 BENCH_PHASE_TIMEOUT_S / BENCH_STREAM_TIMEOUT_S, BENCH_STREAM_FRAMES,
-BENCH_CHUNK (streaming chunk, default 32), BENCH_SKIP_PHASES
-(comma-list of step_gfft,step_sift,streaming).
+BENCH_CHUNK (streaming chunk, default 32), BENCH_SWEEP_TIMEOUT_S,
+BENCH_SKIP_PHASES (comma-list of step_gfft,step_sift,streaming,sweep).
 Compat (single-phase worker mode, also used internally):
 `bench.py --phase step|streaming` honors BENCH_DETECTOR and
 BENCH_MODE=planes|imageonly|streaming like earlier rounds.
@@ -317,6 +323,13 @@ def orchestrate() -> int:
                                      "streaming_wall.py"),
                         stream_frames, chunk, "planes"],
                        stream_timeout, {"WALL_DETECTOR": "GFTT"}))
+    if "sweep" not in skip:
+        phases.append(("sweep",
+                       [sys.executable,
+                        os.path.join(_REPO, "benchmarks",
+                                     "sweep_throughput.py")],
+                       float(os.environ.get("BENCH_SWEEP_TIMEOUT_S",
+                                            "600")), {}))
 
     warm_ran = False
     step_names = [n for n, *_ in phases if n.startswith("step_")]
@@ -406,6 +419,8 @@ def orchestrate() -> int:
     stream, stream_stale = pick("streaming")
     # a stale streaming value must carry ITS chunk, not this run's env
     stream_chunk, _ = pick("streaming", "chunk")
+    sweep, sweep_stale = pick("sweep")
+    sweep_mfu, _ = pick("sweep", "mfu")
 
     out = {
         "metric": "frontend_fps_640x480",
@@ -416,13 +431,16 @@ def orchestrate() -> int:
         "streaming_wall_fps": stream,
         "streaming_chunk": stream_chunk if stream_chunk is not None
         else int(chunk),
+        "sweep_pairs_per_s": sweep,
+        "sweep_mfu": sweep_mfu,
         "wedged": wedged,
         "relay_load_suspected": relay_load_suspected,
         "fresh_phases": sorted(fresh),
         "stale_phases": sorted(
             n for n, s in [("step_gfft", gfft_stale),
                            ("step_sift", sift_stale),
-                           ("streaming", stream_stale)] if s),
+                           ("streaming", stream_stale),
+                           ("sweep", sweep_stale)] if s),
     }
     if "step_gfft" in fresh:
         for k in ("mfu", "first_step_s", "model_gflops_per_frame"):
@@ -437,6 +455,11 @@ def orchestrate() -> int:
                   "window_spread", "overall_fps"):
             if k in fresh["streaming"]:
                 out[f"streaming_{k}"] = fresh["streaming"][k]
+    if "sweep" in fresh:
+        for k in ("model_gflops_per_s", "extract_fps", "median_err_t",
+                  "pass_spread"):
+            if k in fresh["sweep"]:
+                out[f"sweep_{k}"] = fresh["sweep"][k]
 
     # persist fresh numbers for future wedged rounds — but ONLY
     # protocol-default accelerator measurements: a cpu fallback or a
@@ -444,7 +467,9 @@ def orchestrate() -> int:
     # headline the stale path exists to preserve
     protocol_default = not any(os.environ.get(k) for k in (
         "BENCH_FRAMES", "BENCH_MAXKP", "BENCH_HYPOTHESES",
-        "BENCH_STREAM_FRAMES", "BENCH_CHUNK", "BENCH_MODE"))
+        "BENCH_STREAM_FRAMES", "BENCH_CHUNK", "BENCH_MODE",
+        "SWEEP_PAIRS", "SWEEP_BATCH", "SWEEP_MAXKP", "SWEEP_HYP",
+        "SWEEP_FRAMES", "SWEEP_PASSES", "SWEEP_PLATFORM"))
     persistable = {
         name: res for name, res in fresh.items()
         if res.get("platform", "unknown") not in ("cpu",)

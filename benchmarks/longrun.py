@@ -9,7 +9,12 @@ RSS. Targets the regime of the reference's captured fr1 artifacts
 Usage: longrun.py [n_frames] [chunk] [root]
 Env: LONG_MPC (max_pos_change, 0.08), LONG_DETECTOR (GFTT),
      LONG_MAXKP (512), LONG_HYP (256), LONG_SCORED (0),
-     LONG_MODE (planes|imageonly), LONG_FUSE (1 = run saveOutput too).
+     LONG_MODE (planes|imageonly), LONG_FUSE (1 = run saveOutput too),
+     LONG_ARTIFACTS ("" | kinect — render the dataset through the
+     Kinect-v1 sensor-artifact model; VERDICT r4 #5 attested regime),
+     LONG_PCD (1; 0 skips writing PCDs — required disk drops ~5 MB/frame,
+     only valid with LONG_MODE=imageonly which never reads them),
+     LONG_PREFILTER (finalize_prefilter config key, 0 = exact scan).
 The dataset is generated (multi_loop_trajectory, 4 laps with drift) if
 `root` is missing — ~10 min of host rendering at 640x480.
 """
@@ -36,7 +41,13 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     n_frames = int(argv[0]) if argv else 1000
     chunk = int(argv[1]) if len(argv) > 1 else 16
-    root = argv[2] if len(argv) > 2 else f"/tmp/slam3d_longrun/ds{n_frames}"
+    # the artifact regime gets its own default root: the n_cached guard
+    # below only checks length, so a clean cached dataset would silently
+    # serve an artifacts run (and vice versa)
+    _tag = "_" + os.environ["LONG_ARTIFACTS"] if os.environ.get(
+        "LONG_ARTIFACTS") else ""
+    root = (argv[2] if len(argv) > 2
+            else f"/tmp/slam3d_longrun/ds{n_frames}{_tag}")
 
     mpc = float(os.environ.get("LONG_MPC", "0.08"))
     detector = os.environ.get("LONG_DETECTOR", "GFTT")
@@ -44,6 +55,7 @@ def main(argv=None) -> int:
     hyp = int(os.environ.get("LONG_HYP", "256"))
     scored = os.environ.get("LONG_SCORED", "0")
     kind = os.environ.get("LONG_MODE", "planes")
+    artifacts = os.environ.get("LONG_ARTIFACTS") or None
 
     import jax
 
@@ -68,7 +80,10 @@ def main(argv=None) -> int:
         log(f"generating {n_frames}-frame 640x480 dataset at {root}...")
         scene = synthetic.RoomScene(seed=3)
         synthetic.write_dataset(root, scene, traj, intr, height=480,
-                                width=640, write_pcd=True)
+                                width=640,
+                                write_pcd=os.environ.get(
+                                    "LONG_PCD", "1") == "1",
+                                artifacts=artifacts)
     with open(assoc) as f:
         n_cached = sum(1 for line in f if line.strip())
     if n_cached != n_frames:
@@ -86,6 +101,7 @@ def main(argv=None) -> int:
         camera_cy=intr.cy, camera_factor=intr.factor,
         max_keypoints=max_kp, ransac_hypotheses=hyp,
         max_pos_change=mpc, loop_closure_scored=scored,
+        finalize_prefilter=os.environ.get("LONG_PREFILTER", "0"),
     ))
     cls = StreamingGraphicEnd if kind == "planes" else StreamingGraphicEnd2
     ge = cls(params, data_dir=datadir, chunk=chunk)
@@ -208,6 +224,7 @@ def main(argv=None) -> int:
         "chunk": chunk,
         "mode": kind,
         "scored": scored,
+        "artifacts": artifacts or "",
     }))
     return 0
 

@@ -8,7 +8,9 @@ Prints one JSON line: {"ate_rmse_m", "rpe_trans_rmse_m", "keyframes",
 Usage: python benchmarks/quality_e2e.py [n_frames] [detector] [descriptor]
 Env knobs (for the detector-zoo matrix and the frame-scope starvation
 sweep, VERDICT r2 #3/#8): QUALITY_MAXKP (256), QUALITY_BUDGET
-(frame_kp_budget, 0), QUALITY_SCOPE (frame|plane), QUALITY_HYP (128).
+(frame_kp_budget, 0), QUALITY_SCOPE (frame|plane), QUALITY_HYP (128),
+QUALITY_ARTIFACTS ("" | kinect — render through the Kinect-v1 sensor
+artifact model, the attested robustness regime per VERDICT r4 #5).
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ def main(argv=None) -> int:
     budget = int(os.environ.get("QUALITY_BUDGET", "0"))
     scope = os.environ.get("QUALITY_SCOPE", "frame")
     hyp = int(os.environ.get("QUALITY_HYP", "128"))
+    artifacts = os.environ.get("QUALITY_ARTIFACTS") or None
 
     import jax
 
@@ -62,7 +65,8 @@ def main(argv=None) -> int:
     datadir = os.path.join(work, "data")
     scene = synthetic.RoomScene(seed=3)
     traj = synthetic.orbit_trajectory(n_frames, radius=0.25, yaw_amp=0.15)
-    synthetic.write_dataset(root, scene, traj, intr, write_pcd=True)
+    synthetic.write_dataset(root, scene, traj, intr, write_pcd=True,
+                            artifacts=artifacts)
 
     params = ParameterReader(None, overrides=dict(
         data_source=root, detector_name=detector,
@@ -134,6 +138,7 @@ def main(argv=None) -> int:
         "max_kp": max_kp,
         "frame_kp_budget": budget,
         "detect_scope": scope,
+        "artifacts": artifacts or "",
     }))
     return 0
 

@@ -21,7 +21,8 @@ Env: WALL_DS (dataset root; generated at 640x480 if missing),
      WALL_DETECTOR/WALL_DESCRIPTOR (GFTT/SIFT), WALL_MAXKP (512),
      WALL_HYP (256), WALL_MPC (max_pos_change, 0.1), WALL_SCORED (0),
      WALL_WARM_FRAMES (frames excluded as warmup, 2*chunk),
-     WALL_WINDOWS (steady-state windows, 3; 1 restores single-window).
+     WALL_WINDOWS (steady-state windows, 3; 1 restores single-window),
+     WALL_PREFETCH (streaming_prefetch_chunks; 0 = overlap-off baseline).
 """
 
 from __future__ import annotations
@@ -125,6 +126,7 @@ def main(argv=None) -> int:
     hyp = int(os.environ.get("WALL_HYP", "256"))
     mpc = float(os.environ.get("WALL_MPC", "0.1"))
     scored = os.environ.get("WALL_SCORED", "0")
+    prefetch = os.environ.get("WALL_PREFETCH", "2")  # 0 = overlap off
     warm = int(os.environ.get("WALL_WARM_FRAMES", str(2 * chunk)))
 
     import jax
@@ -164,6 +166,7 @@ def main(argv=None) -> int:
         camera_cy=intr.cy, camera_factor=intr.factor,
         max_keypoints=max_kp, ransac_hypotheses=hyp,
         max_pos_change=mpc, loop_closure_scored=scored,
+        streaming_prefetch_chunks=prefetch,
     ))
     datadir = f"/tmp/slam3d_wall_data_{os.getpid()}"
     cls = StreamingGraphicEnd if kind == "planes" else StreamingGraphicEnd2
@@ -232,6 +235,7 @@ def main(argv=None) -> int:
         "window_spread": spread,
         "overall_fps": round(done2 / total_dt, 3) if total_dt else 0.0,
         "scored": scored,
+        "prefetch_chunks": int(prefetch),
         "platform": jax.default_backend(),
     }))
     return 0

@@ -161,6 +161,22 @@ DEFAULTS: Dict[str, str] = {
     # (src/GraphicEnd.cpp:729-761), the O(K) recovery scan (:810-836),
     # and optimize(200) (:669-670).
     "mesh_devices": "0",
+    # finalize walk-candidate pre-filter: 0 (default) = exact reference
+    # semantics — findMoreLoops' bulk scan registers each connected
+    # source against the WHOLE keyframe history (O(S*K) multiPnP
+    # pairs). N>0 = rank the history by the lcdb retrieval score first
+    # and full-multiPnP only the top N per source; pruned pairs are
+    # cached as failed verdicts (the walk stops there, as at a failed
+    # registration). Bounds finalize cost at 500+ keyframes; verified
+    # edge-set-equivalent at reference scale in tests/test_e2e.py.
+    "finalize_prefilter": "0",
+    # streaming pipeline depth: chunks decoded+uploaded ahead of the
+    # device scan by the background loader (frontend/streaming.py).
+    # 2 keeps one chunk decoding while another uploads, both hidden
+    # behind the scan; 0 disables the pipeline entirely (synchronous
+    # load -> dispatch -> apply per chunk — the overlap-off baseline
+    # benchmarks compare against).
+    "streaming_prefetch_chunks": "2",
 }
 
 # Intrinsics preset blocks the reference ships commented out

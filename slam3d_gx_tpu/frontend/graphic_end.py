@@ -122,6 +122,7 @@ class GraphicEnd:
         self.lc_drain_threshold = 24
         self._check_cache = {}  # (k1,k2) -> (passed, T) pair verdicts
         self.lc_max_drift = p.get_float("loop_closure_max_drift")
+        self.finalize_prefilter = p.get_int("finalize_prefilter")
         self._kf_pose = {}  # kf id -> running frontend pose at promotion
 
     # -- construction ------------------------------------------------------
@@ -194,7 +195,10 @@ class GraphicEnd:
 
                 self.kf_store = FeatureStore(kf.features)
             self.kf_store.add(kf.features)
-        if self.params.get_int("loop_closure_scored") == 0:
+        if (self.params.get_int("loop_closure_scored") == 0
+                and self.finalize_prefilter == 0):
+            # the retrieval database serves both the scored LC sampler
+            # and the finalize pre-filter; skip it when neither is on
             return
         if self.lcdb is None:
             from ..ops.features import registry as feat_registry
@@ -815,11 +819,35 @@ class GraphicEnd:
 
     def _scan_source(self, source: int):
         """Fill the verdict cache for every (source, i) pair in one
-        pipelined batched-registration round (see checknearby)."""
+        pipelined batched-registration round (see checknearby).
+
+        finalize_prefilter (config key, default 0 = off): the exact
+        scan is O(K) registrations per source — the right trade at the
+        reference's 117 keyframes, but quadratic in total and the
+        finalize bottleneck by ~500 keyframes. With the knob set to N,
+        the source is ranked against the whole history by the lcdb
+        retrieval score (ONE device program, the same similarity the
+        scored loop-closure sampler trusts) and only the top N
+        candidates get the full multiPnP; the rest are cached as
+        failed verdicts — the walk stops there exactly as it would at
+        a failed registration. Reference semantics (check every walked
+        pair, src/GraphicEnd.cpp:864-947) are preserved at the default.
+        """
         fresh = [i for i in range(len(self.keyframes))
                  if i != source and (source, i) not in self._check_cache]
         if not fresh:
             return
+        limit = self.finalize_prefilter
+        if limit > 0 and len(fresh) > limit and self.lcdb is not None:
+            s = self.lcdb.scores(self.keyframes[source].features)
+            ranked = sorted(fresh, key=lambda i: -float(s[i]))
+            eye = np.eye(4)
+            for i in ranked[limit:]:
+                self._check_cache[(source, i)] = (False, eye)
+            self._prefilter_pruned = (
+                getattr(self, "_prefilter_pruned", 0)
+                + len(ranked) - limit)
+            fresh = sorted(ranked[:limit])
         results = self.batch_registrar.run_against_one(
             self.kf_store, fresh, self.keyframes[source].features,
             self.next_key(), self.loop_closure_inliers,

@@ -345,7 +345,7 @@ def build_multipnp_planes(
         def per_plane(desc_a, kpv_a, obj, uv_b, desc_b, kpv_b, pv, k):
             midx, mdist, mok = match.match_nn(desc_a, kpv_a, desc_b, kpv_b)
             good = match.good_match_filter(mdist, mok, floor=match_floor) & pv
-            img = uv_b[midx]
+            img = match.gather_rows_onehot(midx, uv_b)
             res_p = pnp.solve_pnp_ransac(
                 obj, img, good, intr.fx, intr.fy, intr.cx, intr.cy,
                 k, reproj_thresh=8.0, hypotheses=hypotheses,
@@ -412,7 +412,7 @@ def build_multipnp_image(
         )
         good = match.good_match_filter(mdist, mok, floor=match_floor)
         obj = fa.kp3d[0]
-        img = fb.uv[0][midx]
+        img = match.gather_rows_onehot(midx, fb.uv[0])
         res = pnp.solve_pnp_ransac(
             obj, img, good, intr.fx, intr.fy, intr.cx, intr.cy,
             key, reproj_thresh=8.0, hypotheses=hypotheses,

@@ -180,28 +180,37 @@ class _StreamingMixin:
     (graph mutation + history scan) still falls back to the exact
     per-frame path."""
 
-    def _init_streaming(self, chunk: int):
+    def _init_streaming(self, chunk: int, prefetch_chunks: int = None):
         self.chunk = chunk
         # chunks decoded+uploaded ahead of the device scan (2 keeps one
         # chunk decoding while another uploads, hiding both behind the
-        # scan; each buffered 640x480 chunk is ~29 MB host + device)
-        self.chunk_prefetch = 2
+        # scan; each buffered 640x480 chunk is ~29 MB host + device).
+        # 0 disables the pipeline (synchronous overlap-off baseline).
+        # Config key streaming_prefetch_chunks; kwarg wins when given.
+        if prefetch_chunks is None:
+            try:
+                prefetch_chunks = self.params.get_int(
+                    "streaming_prefetch_chunks")
+            except (KeyError, ValueError):
+                prefetch_chunks = 2
+        self.chunk_prefetch = prefetch_chunks
+        # bound on waiting for a background decode+upload future: the
+        # relay can wedge mid-run (CLAUDE.md), and an unbounded
+        # fut.result() inside a worker-thread jnp.asarray would hang the
+        # whole run silently; surfacing it as an error is recoverable
+        self.chunk_load_timeout = 600.0
         self._tracker = None
 
     def _setup_prefetch(self, want_pcd: bool, **kw):
-        """The chunk path backprojects clouds on device, so never
-        prefetch PCDs in streaming mode: the background ASCII parse
-        (~9 MB/frame) steals host CPU/IO for the whole run and the
-        prefetch pop in _load_frames blocks on it (measured ~1 s per
-        32-frame chunk, the single largest wall cost). The rare
-        per-frame fallback (lostRecovery replay) reads PCDs
-        synchronously instead. The queue is deepened to cover a whole
-        chunk burst plus the speculative next chunk (the per-frame
-        default of 4 slots drains instantly and pops then serialize on
-        the 2 decode threads)."""
+        """Streaming never starts the native per-frame prefetch: the
+        main loop loads whole chunks through _load_frames_raw/_device
+        (threaded decode in the chunk loader), so per-frame loaders
+        would decode the first frames twice and hold 4 threads + queue
+        memory for the whole run. The rare per-frame fallback paths
+        (chunk tail, lostRecovery replay) decode synchronously instead
+        — readimage's pure-Python path handles _prefetch=None."""
         del want_pcd, kw
-        super()._setup_prefetch(want_pcd=False,
-                                queue_depth=2 * self.chunk, threads=4)
+        self._prefetch = None
 
     def _frame_files_exist(self, idx: int) -> bool:
         """Contiguous-prefix probe. The plane frontend also requires the
@@ -324,6 +333,11 @@ class _StreamingMixin:
         done = 0
         inflight = None
         next_fetch = self.index
+        if self.chunk_prefetch <= 0:
+            # overlap-off baseline: synchronous load -> dispatch ->
+            # apply per chunk (the tail loop below handles full chunks
+            # identically when nothing was pipelined)
+            return self._run_streaming_tail(n_frames, done)
         depth = max(1, self.chunk_prefetch)
         pendq = collections.deque()  # (indices, future[(g_dev, d_dev)])
         with cf.ThreadPoolExecutor(max_workers=depth) as loader:
@@ -352,8 +366,17 @@ class _StreamingMixin:
                 if pendq:
                     indices, fut = pendq.popleft()
                     carry = inflight["carry"] if inflight else None
+                    try:
+                        frames = fut.result(
+                            timeout=self.chunk_load_timeout)
+                    except cf.TimeoutError:
+                        raise RuntimeError(
+                            f"streaming chunk load timed out after "
+                            f"{self.chunk_load_timeout:.0f}s — device "
+                            f"upload likely hung (wedged relay); rerun "
+                            f"after utils.platform.probe() succeeds")
                     nxt = self._dispatch_chunk(
-                        indices, carry=carry, frames=fut.result())
+                        indices, carry=carry, frames=frames)
                     # refill the freed load slot NOW so later chunks'
                     # decode+upload overlap the blocking bookkeeping
                     # below
@@ -371,15 +394,21 @@ class _StreamingMixin:
                 inflight = nxt
                 if inflight is None:
                     break
-        # tail: fewer than chunk frames remain (or a gap broke the
-        # prefix). Pad the remainder to a full chunk by repeating the
-        # last frame so the fixed-shape tracker serves the tail too —
-        # the per-frame fallback costs ~1.3 s/frame on the plane
-        # pipeline (host PCD parse + synchronous readback) and was 91%
-        # of the 96-frame benchmark's wall time. Only the valid prefix
-        # of the records is applied; the padded frames' effect on the
-        # device carry is irrelevant because the run ends (or stops at
-        # the gap) here.
+        return self._run_streaming_tail(n_frames, done)
+
+    def _run_streaming_tail(self, n_frames: int, done: int) -> int:
+        """Synchronous chunked loop: load -> dispatch -> apply, one
+        chunk at a time. Serves (a) the tail when fewer than chunk
+        frames remain or a file gap broke the pipelined prefix, and
+        (b) the whole run when streaming_prefetch_chunks=0 (the
+        overlap-off baseline). Partial chunks are padded to the fixed
+        tracker shape by repeating the last frame — the per-frame
+        fallback costs ~1.3 s/frame on the plane pipeline (host PCD
+        parse + synchronous readback) and was 91% of the 96-frame
+        benchmark's wall time. Only the valid prefix of the records is
+        applied; a padded frame's effect on the device carry is
+        irrelevant because the run ends (or re-enters here) right
+        after."""
         while done < n_frames and self._frame_files_exist(self.index):
             indices = []
             idx = self.index

@@ -38,6 +38,7 @@ def _seed_last_good(mod, best=None, **extra):
         "step_gfft": {"value": 238.374, "platform": "tpu"},
         "step_sift": {"value": 140.0, "platform": "tpu"},
         "streaming": {"value": 29.9, "chunk": 32, "platform": "tpu"},
+        "sweep": {"value": 1450.0, "mfu": 0.012, "platform": "tpu"},
     }
     rec.update(extra)
     if best is not None:
@@ -81,8 +82,9 @@ def test_wedged_emits_stale_line(bench, capsys, monkeypatch):
     assert out["streaming_wall_fps"] == 29.9
     assert out["streaming_chunk"] == 32  # the stale record's chunk
     assert sorted(out["stale_phases"]) == [
-        "step_gfft", "step_sift", "streaming"]
+        "step_gfft", "step_sift", "streaming", "sweep"]
     assert out["fresh_phases"] == []
+    assert out["sweep_pairs_per_s"] == 1450.0  # stale sweep record served
 
 
 def test_fresh_tpu_results_persist(bench, capsys, monkeypatch):

@@ -309,3 +309,42 @@ def test_bulk_scan_verdicts_match_single_pair(imageonly_run):
             f"pair ({src},{tgt}): bulk={passed} single={single} "
             f"(norm {norm:.3f}, inliers {inl})")
     assert checked >= 3, "too few decisive pairs to compare"
+
+
+def test_finalize_prefilter_edge_equivalence(dataset, tmp_path_factory):
+    """finalize_prefilter (VERDICT r4 #4): with the knob at or above the
+    keyframe count nothing is pruned and the finalize edge set must be
+    EXACTLY the exact-scan run's (same seed -> same key sequence ->
+    same verdicts); with a tight limit the pre-filter must actually
+    prune registrations while keeping every keyframe constrained."""
+    from slam3d_gx_tpu.frontend import GraphicEnd2
+
+    root, traj = dataset
+
+    def run(**kw):
+        datadir = str(tmp_path_factory.mktemp("data_pf"))
+        ge = GraphicEnd2(make_params(root, **kw), data_dir=datadir)
+        slam = SLAMEnd()
+        ge.init(slam)
+        slam.init(ge)
+        for _ in range(N_FRAMES - 1):
+            ge.run()
+        ge.save_final_result()
+        return ge, sorted((e.id1, e.id2) for e in ge.opt.graph.edges)
+
+    ge0, edges_exact = run(finalize_prefilter=0)
+    k = len(ge0.keyframes)
+    ge1, edges_wide = run(finalize_prefilter=max(k, 4))
+    assert edges_wide == edges_exact, (
+        "no-prune prefilter changed the finalize edge set")
+    assert getattr(ge1, "_prefilter_pruned", 0) == 0
+
+    ge2, edges_tight = run(finalize_prefilter=2)
+    assert getattr(ge2, "_prefilter_pruned", 0) > 0, (
+        "tight prefilter pruned nothing — knob inert")
+    # pruning may drop walk edges but never a keyframe's backbone:
+    # every consecutive-keyframe odometry edge must survive
+    ids = [kf.id for kf in ge2.keyframes]
+    present = set(edges_tight)
+    for a, b in zip(ids, ids[1:]):
+        assert (a, b) in present or (b, a) in present
