@@ -50,6 +50,41 @@ def nms(response, radius: int = 1):
     return jnp.where(response >= pooled, response, -jnp.inf)
 
 
+def topk_flat(flat, k: int, block: int = 128):
+    """Exact top-k over a 1D array via a block-max prefilter.
+
+    lax.top_k over a full response map (307k-921k elements here) is the
+    single most expensive op of every detector's selection stage on TPU
+    (measured round 5: 1.53 ms of SIFT's 6.4 ms step). This reduces it
+    to top_k over n/block block maxima plus top_k over k*block
+    survivors.
+
+    Exactness: any block containing one of the true top-k elements has
+    a block max >= the k-th largest value, so it ranks within the top k
+    blocks (at most k blocks can beat it, and blocks holding a top-k
+    element cannot all be beaten by k OTHER blocks — each beating block
+    contributes an element larger than the k-th value, a contradiction
+    beyond k blocks). Hence the k selected blocks cover all true top-k
+    elements and pass 2 is exact. Tie order among equal values can
+    differ from plain top_k (both are valid top-k sets).
+
+    Returns (values, flat_indices), each (k,).
+    """
+    n = flat.shape[0]
+    nb = -(-n // block)
+    if nb <= 4 * k:  # prefilter smaller than its own overhead
+        return jax.lax.top_k(flat, k)
+    if nb * block != n:
+        flat = jnp.concatenate(
+            [flat, jnp.full((nb * block - n,), -jnp.inf, flat.dtype)])
+    rows = flat.reshape(nb, block)
+    bv, bi = jax.lax.top_k(rows.max(axis=1), k)
+    cand = jnp.take(rows, bi, axis=0, indices_are_sorted=False)  # (k,block)
+    cv, ci = jax.lax.top_k(cand.reshape(-1), k)
+    gidx = bi[ci // block] * block + (ci % block)
+    return cv, jnp.minimum(gidx, n - 1)
+
+
 def topk_keypoints(
     response, k: int, threshold=0.0, nms_radius: int = 1, border: int = 0,
     size: float = 7.0,
@@ -65,7 +100,7 @@ def topk_keypoints(
         )
         r = jnp.where(inside, r, -jnp.inf)
     flat = r.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, k)
+    vals, idx = topk_flat(flat, k)
     v = (idx // W).astype(jnp.float32)
     u = (idx % W).astype(jnp.float32)
     valid = vals > threshold

@@ -160,16 +160,18 @@ def _descriptors_from_patch(mag, ori, rx, ry, size, angles):
         wo.append(jnp.maximum(0.0, 1.0 - d))
     wo = jnp.stack(wo, axis=2)
 
-    # spatial trilinear hats per axis, accumulate per (by,bx) with matmuls
-    rows = []
-    for by in range(D):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - by)) * mw  # (K,P^2)
-        for bx in range(D):
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(cbin - bx))
-            cell = jnp.matmul((wy * wx)[:, None, :], wo,
-                              precision=_HI)[:, 0, :]  # (K,8)
-            rows.append(cell)
-    desc = jnp.concatenate(rows, axis=1)  # (K,128), layout (by,bx,o)
+    # spatial trilinear hats per axis, accumulated as ONE batched matmul
+    # (K,16,P^2)x(K,P^2,8): 16 separate (K,1,P^2) matmuls each re-read
+    # the 16 MB `wo` operand — ~270 MB of HBM traffic for 67 MFLOPs;
+    # stacking the spatial-bin weights reads it once (measured round 5,
+    # part of the descriptor-stage cut)
+    ws = jnp.stack([
+        jnp.maximum(0.0, 1.0 - jnp.abs(rbin - by)) * mw
+        * jnp.maximum(0.0, 1.0 - jnp.abs(cbin - bx))
+        for by in range(D) for bx in range(D)
+    ], axis=1)  # (K,16,P^2)
+    desc = jnp.matmul(ws, wo, precision=_HI).reshape(
+        mag.shape[0], D * D * NBINS)  # (K,128), layout (by,bx,o)
 
     # OpenCV post-processing: L2 -> clip 0.2 -> L2 -> 512x saturate
     n = jnp.linalg.norm(desc, axis=1, keepdims=True) + 1e-12

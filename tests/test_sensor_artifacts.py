@@ -114,3 +114,52 @@ def test_slam_tracks_through_kinect_artifacts(tmp_path_factory):
     # wider tolerance than the clean-data bar (0.05): depth noise at
     # ~3 m is ~2.6 cm per point before RANSAC averaging
     assert ate < 0.09, f"ATE under kinect artifacts: {ate}"
+
+
+def test_planes_pipeline_tracks_through_kinect_artifacts(
+        tmp_path_factory):
+    """Plane-SLAM regression under the Kinect-v1 artifact model
+    (VERDICT r4 #5: promote artifacts to the attested protocol).
+
+    The artifact model stresses exactly the gates the reference built
+    for real Kinect data: edge/speckle dropout punches zero-depth holes
+    into the cloud AND under keypoints, forcing compute3dPosition's
+    plane-ray fallback (GraphicEnd.cpp:440-450); quadratic depth noise
+    (~2.6 cm/pt at 3 m) widens the PnP inlier spread against the 8 px
+    RANSAC margin; quantized disparity staircases the plane RANSAC
+    inlier counts. PCDs here are backprojected from the ARTIFACT depth,
+    so plane extraction sees the holes too.
+    """
+    from slam3d_gx_tpu.frontend import GraphicEnd
+
+    root = str(tmp_path_factory.mktemp("kinect_planes_room"))
+    scene = synthetic.RoomScene(seed=3)
+    traj = synthetic.orbit_trajectory(N_FRAMES, radius=0.2, yaw_amp=0.1)
+    synthetic.write_dataset(root, scene, traj, INTR, write_pcd=True,
+                            artifacts="kinect")
+    params = ParameterReader(None, overrides=dict(
+        data_source=root, detector_name="GFTT", descriptor_name="SIFT",
+        camera_fx=INTR.fx, camera_fy=INTR.fy, camera_cx=INTR.cx,
+        camera_cy=INTR.cy, camera_factor=INTR.factor,
+        max_keypoints=128, ransac_hypotheses=64, frame_kp_budget=384,
+        max_pos_change=0.05, grid_leaf=0.05,
+    ))
+    datadir = str(tmp_path_factory.mktemp("kinect_planes_data"))
+    ge = GraphicEnd(params, data_dir=datadir)
+    slam = SLAMEnd()
+    ge.init(slam)
+    slam.init(ge)
+    n = 5
+    for _ in range(n):
+        ge.run()
+    ge.save_final_result()
+    assert ge.lost == 0
+    assert len(ge.keyframes) >= 3
+    feats = ge.keyframes[-1].features
+    assert int(np.asarray(feats.plane_valid).sum()) >= 1
+    est = [ge.opt.vertex_estimate(kf.id) for kf in ge.keyframes]
+    gt = [traj[kf.frame_index - 1] for kf in ge.keyframes]
+    ate = synthetic.ate_rmse(gt, est)
+    # looser than the clean planes bar (0.06): artifact depth noise +
+    # dropout thin the per-plane correspondence sets
+    assert ate < 0.12, f"plane-SLAM ATE under kinect artifacts: {ate}"
